@@ -1,0 +1,199 @@
+"""ESF-Net — Edge-guided Segmentation & Fitting Network (flax / NHWC).
+
+TPU-native rebuild of the reference "RITnet_v2" DenseNet2D
+(reference models/RITnet_v2.py:124-354) with the five edge-fusion variants
+selected by :class:`eghmd_tpu.config.VariantConfig`:
+
+  * only_edge     — the edge map replaces the image (:276-278)
+  * input_concat  — 2-channel input (:279-280)
+  * add_edge      — shared encoder run on the edge map, bottlenecks
+                    concatenated 153+153=306 (:283-287); decoder sized
+                    [306,180,100,62]->[180,100,62,32] (:184-186)
+  * add_seg       — AdaIN: style-encode the softmaxed seg map and re-modulate
+                    the instance-normalized bottleneck (:289-308)
+  * baseline      — none of the above
+
+Unlike the reference, losses are NOT computed inside the forward pass: the
+reference fused them into ``forward`` purely as a ``DataParallel`` workaround
+(models/RITnet_v2.py:312-321); under pjit the loss lives in
+:mod:`eghmd_tpu.losses`. The model returns ``(op, el_out, latent)``:
+
+  op      [B, H, W, 3]   segmentation logits (bg / iris / pupil)
+  el_out  [B, 10]        regressed ellipse params (iris 5 | pupil 5),
+                         centers tanh'd, axes sigmoid'd, angles linear
+  latent  [B, 153]       spatial mean of the image bottleneck
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import VariantConfig
+from .blocks import (
+    ConvBlock,
+    DenseDownBlock,
+    DenseUpBlock,
+    LinStack,
+    MLP,
+    RegressionModule,
+    StyleEncoder,
+    adain_mean_std,
+    instance_norm,
+)
+
+Dtype = Any
+
+
+def get_sizes(chz: int = 32, growth: float = 1.2, blks: int = 4):
+    """Channel bookkeeping (reference models/RITnet_v2.py:15-29).
+
+    For chz=32, growth=1.2: enc inter=[32,64,96,128], enc op=[38,76,115,153],
+    enc ip=[32,38,76,115]; dec skip=[243,172,102,64], dec ip=[153,115,76,38],
+    dec op=[115,76,38,32].
+    """
+    inter = [chz * (i + 1) for i in range(blks)]
+    op = [int(growth * chz * (i + 1)) for i in range(blks)]
+    ip = [chz] + op[:-1]
+    dec_skip = [i + j for i, j in zip(ip[::-1], inter[::-1])]
+    dec_ip = op[::-1]
+    dec_op = op[::-1][1:] + [chz]
+    return {
+        "enc": {"inter": inter, "op": op, "ip": ip},
+        "dec": {"skip": dec_skip, "ip": dec_ip, "op": dec_op},
+    }
+
+
+class DenseEncoder(nn.Module):
+    """Head + 4 down blocks + bottleneck (reference models/RITnet_v2.py:124-174)."""
+
+    chz: int = 32
+    growth: float = 1.2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        sizes = get_sizes(self.chz, self.growth)
+        inter, op = sizes["enc"]["inter"], sizes["enc"]["op"]
+        x = ConvBlock(self.chz, self.chz, dtype=self.dtype, name="head")(x, train)
+        skips = []
+        for i in range(4):
+            skip, x = DenseDownBlock(
+                inter[i], op[i], down_size=2, dtype=self.dtype, name=f"down_block{i + 1}"
+            )(x)
+            skips.append(skip)
+        _, x = DenseDownBlock(
+            inter[3], op[3], down_size=0, dtype=self.dtype, name="bottleneck"
+        )(x)
+        # reference returns (skip_4, skip_3, skip_2, skip_1, x)
+        return skips[3], skips[2], skips[1], skips[0], x
+
+
+class DenseDecoder(nn.Module):
+    """4 up blocks + final convBlock -> 3-class logits.
+
+    Reference models/RITnet_v2.py:177-200. Output channel widths follow the
+    add_edge override (:184-186) when the bottleneck is 306-wide.
+    """
+
+    chz: int = 32
+    growth: float = 1.2
+    out_c: int = 3
+    add_edge: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, skip4, skip3, skip2, skip1, x, train: bool = False):
+        sizes = get_sizes(self.chz, self.growth)
+        op = [180, 100, 62, 32] if self.add_edge else sizes["dec"]["op"]
+        x = DenseUpBlock(op[0], dtype=self.dtype, name="up_block4")(skip4, x)
+        x = DenseUpBlock(op[1], dtype=self.dtype, name="up_block3")(skip3, x)
+        x = DenseUpBlock(op[2], dtype=self.dtype, name="up_block2")(skip2, x)
+        x = DenseUpBlock(op[3], dtype=self.dtype, name="up_block1")(skip1, x)
+        return ConvBlock(self.chz, self.out_c, dtype=self.dtype, name="final")(x, train)
+
+
+class ESFNet(nn.Module):
+    """The full segmentation + ellipse-regression network."""
+
+    setting: VariantConfig
+    chz: int = 32
+    growth: float = 1.2
+    num_datasets: int = 2  # for the dsIdentify disentanglement head
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, x_edge, train: bool = False):
+        cfg = self.setting
+        assert cfg.input_concat + cfg.add_edge < 2, "edge can be used only once"
+
+        if cfg.only_edge:
+            x = x_edge
+        if cfg.input_concat:
+            x = jnp.concatenate([x, x_edge], axis=-1)
+
+        enc = DenseEncoder(self.chz, self.growth, dtype=self.dtype, name="enc")
+        x4, x3, x2, x1, bott = enc(x, train)
+        latent = jnp.mean(bott, axis=(1, 2))  # [B, 153]
+
+        if cfg.add_edge:
+            # SAME shared encoder applied to the edge map (reference :283-287);
+            # image skips (not edge skips) feed the decoder.
+            *_, bott_edge = enc(x_edge, train)
+            bott = jnp.concatenate([bott, bott_edge], axis=-1)
+
+        op = DenseDecoder(
+            self.chz, self.growth, out_c=3, add_edge=bool(cfg.add_edge),
+            dtype=self.dtype, name="dec",
+        )(x4, x3, x2, x1, bott, train)
+
+        if cfg.add_seg:
+            seg = jax.nn.softmax(op, axis=-1)
+            if cfg.seg_detach:
+                seg = jax.lax.stop_gradient(seg)
+            style = StyleEncoder(cfg.style_dim, dtype=self.dtype, name="seg_encoder")(seg)
+            feat_c = cfg.bottleneck_channels
+            adain = MLP(feat_c * 2, dtype=self.dtype, name="mlp")(style)
+            adain = adain.reshape(adain.shape[0], 2, feat_c)
+            mean, std = adain_mean_std(bott)
+            normalized = (bott - mean) / std
+            gamma = adain[:, 0][:, None, None, :]
+            beta = adain[:, 1][:, None, None, :]
+            bott = normalized * gamma + beta
+
+        el_out = RegressionModule(dtype=self.dtype, name="elReg")(bott)
+        return op, el_out, latent
+
+    def ds_identify(self, latent):
+        """Dataset-ID head for disentanglement (reference :240-249).
+
+        2-layer linear stack 153 -> 64 -> num_datasets, no activations.
+        Parameters are kept OUT of the main optimizer and checkpoints,
+        matching reference train.py:146,447.
+        """
+        return LinStack(64, self.num_datasets, num_layers=2, act=False,
+                        dtype=self.dtype, name="dsIdentify_lin")(latent)
+
+
+class ESFNetWithDS(nn.Module):
+    """ESFNet + dsIdentify in a single module (separate param subtree)."""
+
+    setting: VariantConfig
+    chz: int = 32
+    growth: float = 1.2
+    num_datasets: int = 2
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.net = ESFNet(self.setting, self.chz, self.growth,
+                          self.num_datasets, self.dtype, name="net")
+        self.ds_head = LinStack(64, self.num_datasets, num_layers=2, act=False,
+                                dtype=self.dtype, name="dsIdentify_lin")
+
+    def __call__(self, x, x_edge, train: bool = False):
+        op, el_out, latent = self.net(x, x_edge, train)
+        pred_ds = self.ds_head(latent)
+        return op, el_out, latent, pred_ds

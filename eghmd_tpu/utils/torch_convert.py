@@ -1,0 +1,132 @@
+"""Convert reference PyTorch checkpoints to eghmd_tpu flax variables.
+
+The reference ships torch state_dicts (`<model>_<ep>.pkl` with key
+'state_dict', reference train.py:445-447; BDCN weights `gen_00000016.pt` with
+key 'a', train.py:126-127). These converters map them onto our NHWC flax
+module trees so trained reference weights can be served/evaluated on TPU and
+so tests can verify numeric parity with randomly-initialized reference nets.
+
+Layout rules:
+  torch Conv2d weight [O, I, kh, kw] -> flax kernel [kh, kw, I, O]
+  torch Linear weight [O, I]         -> flax kernel [I, O]
+  torch BatchNorm weight/bias        -> flax scale/bias (+ batch_stats)
+
+No torch import is required: state_dicts may be passed as {name: np.ndarray}.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+
+def _conv_w(t):
+    return np.transpose(np.asarray(t), (2, 3, 1, 0))
+
+
+def _lin_w(t):
+    return np.asarray(t).T
+
+
+def _as_numpy(state_dict) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in state_dict.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        out[k] = np.asarray(v)
+    return out
+
+
+def _set(tree, path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _convert_conv(sd, params, tname, fpath, bias=True):
+    _set(params, fpath + ("kernel",), _conv_w(sd[tname + ".weight"]))
+    if bias:
+        _set(params, fpath + ("bias",), np.asarray(sd[tname + ".bias"]))
+
+
+def _convert_linear(sd, params, tname, fpath):
+    _set(params, fpath + ("kernel",), _lin_w(sd[tname + ".weight"]))
+    _set(params, fpath + ("bias",), np.asarray(sd[tname + ".bias"]))
+
+
+def _convert_bn(sd, params, stats, tname, fpath):
+    _set(params, fpath + ("scale",), np.asarray(sd[tname + ".weight"]))
+    _set(params, fpath + ("bias",), np.asarray(sd[tname + ".bias"]))
+    _set(stats, fpath + ("mean",), np.asarray(sd[tname + ".running_mean"]))
+    _set(stats, fpath + ("var",), np.asarray(sd[tname + ".running_var"]))
+
+
+def _convert_conv_block(sd, params, stats, tprefix, fprefix):
+    _convert_conv(sd, params, tprefix + ".conv1", fprefix + ("conv1",))
+    _convert_conv(sd, params, tprefix + ".conv2", fprefix + ("conv2",))
+    _convert_bn(sd, params, stats, tprefix + ".bn", fprefix + ("bn",))
+
+
+def _convert_down_block(sd, params, tprefix, fprefix):
+    for name in ("conv1", "conv21", "conv22", "conv31", "conv32"):
+        _convert_conv(sd, params, f"{tprefix}.{name}", fprefix + (name,))
+    _convert_conv(sd, params, tprefix + ".TD.conv", fprefix + ("td_conv",))
+
+
+def _convert_up_block(sd, params, tprefix, fprefix):
+    for name in ("conv11", "conv12", "conv21", "conv22"):
+        _convert_conv(sd, params, f"{tprefix}.{name}", fprefix + (name,))
+
+
+def strip_module_prefix(sd):
+    """Drop DataParallel 'module.' prefixes (reference pytorchtools.py:103-123)."""
+    return { (k[7:] if k.startswith("module.") else k): v for k, v in sd.items() }
+
+
+def esfnet_torch_to_flax(state_dict, setting, include_ds_head=False):
+    """Reference DenseNet2D (models/RITnet_v2.py:203-354) -> ESFNet variables."""
+    sd = _as_numpy(strip_module_prefix(state_dict))
+    params: dict = {}
+    stats: dict = {}
+
+    _convert_conv_block(sd, params, stats, "enc.head", ("enc", "head"))
+    for i in range(1, 5):
+        _convert_down_block(sd, params, f"enc.down_block{i}", ("enc", f"down_block{i}"))
+    _convert_down_block(sd, params, "enc.bottleneck", ("enc", "bottleneck"))
+
+    for i in (4, 3, 2, 1):
+        _convert_up_block(sd, params, f"dec.up_block{i}", ("dec", f"up_block{i}"))
+    _convert_conv_block(sd, params, stats, "dec.final", ("dec", "final"))
+
+    _convert_conv(sd, params, "elReg.c1", ("elReg", "c1"))
+    _convert_conv(sd, params, "elReg.c2", ("elReg", "c2"))
+    _convert_conv(sd, params, "elReg.c3", ("elReg", "c3"), bias=False)
+    _convert_linear(sd, params, "elReg.l1", ("elReg", "l1"))
+    _convert_linear(sd, params, "elReg.l2", ("elReg", "l2"))
+
+    if getattr(setting, "add_seg", 0):
+        # StyleEncoder: model.0-4 are Conv2dBlocks, model.6 the 1x1 output conv
+        for i in range(5):
+            _convert_conv(sd, params, f"seg_encoder.model.{i}.conv",
+                          ("seg_encoder", f"conv{i}"))
+        _convert_conv(sd, params, "seg_encoder.model.6", ("seg_encoder", "conv_out"))
+        for i in range(3):
+            _convert_linear(sd, params, f"mlp.model.{i}.fc", ("mlp", f"fc{i}"))
+
+    if include_ds_head and any(k.startswith("dsIdentify_lin") for k in sd):
+        for i in range(2):
+            _convert_linear(sd, params, f"dsIdentify_lin.layersLin.{i}",
+                            ("dsIdentify_lin", f"lin{i}"))
+
+    return {"params": params, "batch_stats": stats}
+
+
+def load_reference_esfnet_checkpoint(path, setting):
+    """Load a reference `<model>_<ep>.pkl` training checkpoint (torch pickle)."""
+    import torch
+
+    netdict = torch.load(path, map_location="cpu", weights_only=False)
+    sd = netdict["state_dict"] if "state_dict" in netdict else netdict
+    return esfnet_torch_to_flax(sd, setting)

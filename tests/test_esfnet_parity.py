@@ -1,0 +1,120 @@
+"""Numeric parity of flax ESF-Net against the torch reference (random weights).
+
+We instantiate the reference DenseNet2D on CPU with random init, convert the
+state_dict to flax variables, and require op / elOut / latent to match on the
+same inputs across the fusion variants. This validates layer semantics, exact
+channel math, and the checkpoint converter in one shot.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eghmd_tpu.config import VARIANT_PRESETS
+from eghmd_tpu.models import ESFNet, get_sizes
+from eghmd_tpu.utils.torch_convert import esfnet_torch_to_flax
+
+from reference_oracle import import_reference
+
+B, H, W = 2, 240, 320
+
+
+def _reference_setting(cfg):
+    return {
+        "add_seg": cfg.add_seg,
+        "seg_detach": cfg.seg_detach,
+        "add_edge": cfg.add_edge,
+        "edge_thres": cfg.edge_thres,
+        "add_selayer": cfg.add_selayer,
+        "generate_eyeball": cfg.generate_eyeball,
+        "feature_channels": cfg.feature_channels,
+        "style_dim": cfg.style_dim,
+        "input_concat": cfg.input_concat,
+        "only_edge": cfg.only_edge,
+    }
+
+
+def _run_reference(variant, img, edge):
+    import torch
+
+    ref_mod = import_reference("models.RITnet_v2")
+    torch.manual_seed(7)
+    model = ref_mod.DenseNet2D(_reference_setting(variant))
+    model.eval()
+
+    t_img = torch.from_numpy(img).float()
+    t_edge = torch.from_numpy(edge).float()
+    # all 3 classes present so the reference wCE's ignore_index path is a no-op
+    target = torch.from_numpy(
+        np.random.RandomState(1).randint(0, 3, (B, H, W)).astype(np.int64)
+    )
+    pupil_center = torch.zeros(B, 2)
+    el_norm = torch.zeros(B, 2, 5)
+    spat = torch.zeros(B, H, W)
+    dist = torch.zeros(B, 3, H, W)
+    cond = torch.zeros(B, 4)
+    ids = torch.zeros(B, dtype=torch.long)
+    with torch.no_grad():
+        op, el_pred, latent, loss, el_out = model(
+            t_img, t_edge, target, pupil_center, el_norm, spat, dist, cond, ids, 0.5
+        )
+    return model.state_dict(), op.numpy(), el_out.numpy(), latent.numpy()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["baseline", "baseline_edge", "baseline_input_concat", "baseline_only_edge",
+     "baseline_adain", "baseline_adain_edge"],
+)
+def test_forward_parity(name):
+    variant = VARIANT_PRESETS[name]
+    rng = np.random.RandomState(3)
+    img = rng.randn(B, 1, H, W).astype(np.float32)
+    edge = rng.rand(B, 1, H, W).astype(np.float32)
+
+    sd, ref_op, ref_el, ref_latent = _run_reference(variant, img, edge)
+
+    variables = esfnet_torch_to_flax(sd, variant)
+    model = ESFNet(setting=variant)
+    op, el_out, latent = jax.jit(
+        lambda v, a, b: model.apply(v, a, b, train=False)
+    )(
+        jax.tree.map(jnp.asarray, variables),
+        jnp.asarray(np.transpose(img, (0, 2, 3, 1))),
+        jnp.asarray(np.transpose(edge, (0, 2, 3, 1))),
+    )
+    op = np.transpose(np.asarray(op), (0, 3, 1, 2))
+
+    # Random-init activations reach O(1e3) magnitudes (no normalization until
+    # the final BN, identity at init), so tolerances are scale-aware: the
+    # relative agreement is ~1e-6.
+    def close(a, b, rel=1e-3):
+        np.testing.assert_allclose(a, b, rtol=rel, atol=rel * np.abs(b).max() + 1e-6)
+
+    close(np.asarray(latent), ref_latent)
+    close(op, ref_op)
+    close(np.asarray(el_out), ref_el)
+
+
+def test_channel_math():
+    sizes = get_sizes(32, 1.2)
+    assert sizes["enc"]["inter"] == [32, 64, 96, 128]
+    assert sizes["enc"]["op"] == [38, 76, 115, 153]
+    assert sizes["enc"]["ip"] == [32, 38, 76, 115]
+    assert sizes["dec"]["skip"] == [243, 172, 102, 64]
+    assert sizes["dec"]["ip"] == [153, 115, 76, 38]
+    assert sizes["dec"]["op"] == [115, 76, 38, 32]
+
+
+def test_param_count_matches_reference():
+    """Parameter-for-parameter coverage: every torch tensor is converted."""
+    variant = VARIANT_PRESETS["baseline_adain_edge"]
+    rng = np.random.RandomState(0)
+    img = rng.randn(B, 1, H, W).astype(np.float32)
+    sd, *_ = _run_reference(variant, img, img)
+    variables = esfnet_torch_to_flax(sd, variant)
+    n_flax = sum(np.prod(x.shape) for x in jax.tree.leaves(variables))
+    n_torch = sum(int(np.prod(v.shape)) for k, v in sd.items()
+                  if "num_batches_tracked" not in k)
+    assert n_flax == n_torch
