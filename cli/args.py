@@ -1,0 +1,124 @@
+"""Shared CLI argument parsing — flag-compatible with the reference.
+
+Mirrors reference args.py:30-65 (all 23 flags, plus TPU-specific additions
+and a --synthetic data source since the real H5 blobs are not shipped).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pprint import pprint
+
+
+def parse_args(argv=None, train=True):
+    p = argparse.ArgumentParser()
+    p.add_argument("--lr", type=float, default=5e-4, help="learning rate")
+    p.add_argument("--prec", type=int, default=32, help="precision: 16 (bf16) or 32")
+    p.add_argument("--disp", type=int, default=0, help="display intermediate output")
+    p.add_argument("--model", type=str, default="ritnet_v2", help="select model")
+    p.add_argument("--curObj", type=str, default="synthetic",
+                   help="curriculum / dataset to train on")
+    p.add_argument("--epochs", type=int, default=40)
+    p.add_argument("--resume", type=int, default=0)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--overfit", type=int, default=0,
+                   help="overfit to N batches (training smoke check)")
+    p.add_argument("--expname", type=str, default="dev")
+    p.add_argument("--selfCorr", type=int, default=0)
+    p.add_argument("--loadfile", type=str, default="")
+    p.add_argument("--path2data", type=str, default="")
+    p.add_argument("--batchsize", type=int, default=12)
+    p.add_argument("--test_mode", type=str, default="leaveoneout")
+    p.add_argument("--disentangle", type=int, default=1)
+    p.add_argument("--test_save_op_masks", type=int, default=0)
+    p.add_argument("--setting", type=str, default="baseline",
+                   help="variant preset name or YAML path")
+    p.add_argument("--id", type=int, default=0)
+    p.add_argument("--edge_thres", type=int, default=0)
+    p.add_argument("--test_normal", type=int, default=0)
+    p.add_argument("--record_iou", type=int, default=0)
+    p.add_argument("--record_img", type=int, default=0)
+    p.add_argument("--iou_filename", type=str, default="test.pkl")
+    p.add_argument("--visual_dir", type=str, default="iris")
+    p.add_argument("--method", type=str, default="baseline")
+    # TPU-native additions
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="use the synthetic dataset (n samples) instead of H5")
+    p.add_argument("--image_height", type=int, default=240)
+    p.add_argument("--image_width", type=int, default=320)
+    p.add_argument("--bdcn_weights", type=str, default="",
+                   help="path to converted/reference BDCN weights; empty -> "
+                        "ground-truth edge maps (synthetic) or zeros")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="data-parallel mesh size; 0 -> all devices")
+    args = p.parse_args(argv)
+    print("------\nparsed arguments:")
+    pprint(vars(args))
+    return args
+
+
+def experiment_from_args(args):
+    from eghmd_tpu.config import ExperimentConfig
+
+    return ExperimentConfig(
+        lr=args.lr,
+        prec="bfloat16" if args.prec == 16 else "float32",
+        model=args.model,
+        cur_obj=args.curObj,
+        epochs=args.epochs,
+        resume=bool(args.resume),
+        workers=args.workers,
+        overfit=args.overfit,
+        expname=args.expname,
+        self_corr=bool(args.selfCorr),
+        loadfile=args.loadfile,
+        path2data=args.path2data,
+        batchsize=args.batchsize,
+        test_mode=args.test_mode,
+        disentangle=bool(args.disentangle),
+        setting=args.setting,
+        edge_thres=args.edge_thres,
+        test_normal=bool(args.test_normal),
+        image_size=(args.image_height, args.image_width),
+        mesh_shape=(args.mesh,) if args.mesh else None,
+    )
+
+
+def build_datasets(args, aug_train=True):
+    """Dataset selection: synthetic, or H5 archives under path2data."""
+    import glob
+    import os
+
+    from eghmd_tpu.data import SyntheticEyeDataset, H5EyeDataset
+
+    size = (args.image_height, args.image_width)
+    if args.synthetic or args.curObj == "synthetic":
+        n = args.synthetic or 256
+        train = SyntheticEyeDataset(n, size, aug=aug_train, seed=1)
+        valid = SyntheticEyeDataset(max(n // 4, 8), size, aug=False, seed=2)
+        test = SyntheticEyeDataset(max(n // 4, 8), size, aug=False, seed=3)
+        return train, valid, test
+    archives = sorted(glob.glob(os.path.join(args.path2data, f"{args.curObj}*.h5")))
+    if not archives:
+        raise FileNotFoundError(
+            f"no H5 archives matching {args.curObj}*.h5 under {args.path2data}; "
+            "use --synthetic N for the synthetic dataset"
+        )
+    from eghmd_tpu.data.curriculum import make_splits
+
+    return make_splits(archives, size=size, aug_train=aug_train)
+
+
+def build_edge_fn(args, dtype):
+    """Frozen BDCN edge function, or None to use the batch's edge maps."""
+    if not args.bdcn_weights:
+        return None
+    import jax
+
+    from eghmd_tpu.models.bdcn import make_edge_fn
+    from eghmd_tpu.utils.torch_convert import load_reference_bdcn_checkpoint
+
+    variables = jax.tree.map(
+        lambda x: jax.numpy.asarray(x), load_reference_bdcn_checkpoint(args.bdcn_weights)
+    )
+    return make_edge_fn(variables, dtype=dtype)

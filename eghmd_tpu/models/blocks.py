@@ -23,6 +23,14 @@ from flax import linen as nn
 Dtype = Any
 
 
+def conv_precision(dtype):
+    """'highest' for fp32 (bit-exact parity; jax's default silently degrades
+    fp32 convs to bf16 passes) but backend-default for bf16 compute, where
+    'highest' would force slow fp32 accumulation paths on the MXU."""
+    return "highest" if dtype == jnp.float32 else None
+
+
+
 def leaky_relu(x):
     # torch F.leaky_relu default negative_slope=0.01
     return jax.nn.leaky_relu(x, negative_slope=0.01)
@@ -65,8 +73,8 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = leaky_relu(nn.Conv(self.inter_c, (3, 3), padding=1, dtype=self.dtype, precision="highest", name="conv1")(x))
-        x = leaky_relu(nn.Conv(self.out_c, (3, 3), padding=1, dtype=self.dtype, precision="highest", name="conv2")(x))
+        x = leaky_relu(nn.Conv(self.inter_c, (3, 3), padding=1, dtype=self.dtype, precision=conv_precision(self.dtype), name="conv1")(x))
+        x = leaky_relu(nn.Conv(self.out_c, (3, 3), padding=1, dtype=self.dtype, precision=conv_precision(self.dtype), name="conv2")(x))
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="bn",
@@ -89,7 +97,7 @@ class DenseDownBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         conv = lambda c, k, name: nn.Conv(
-            c, (k, k), padding=(k - 1) // 2, dtype=self.dtype, precision="highest", name=name
+            c, (k, k), padding=(k - 1) // 2, dtype=self.dtype, precision=conv_precision(self.dtype), name=name
         )
         x1 = leaky_relu(conv(self.inter_c, 3, "conv1")(instance_norm(x)))
         x21 = jnp.concatenate([x, x1], axis=-1)
@@ -117,7 +125,7 @@ class DenseUpBlock(nn.Module):
     @nn.compact
     def __call__(self, skip, x):
         conv = lambda c, k, name: nn.Conv(
-            c, (k, k), padding=(k - 1) // 2, dtype=self.dtype, precision="highest", name=name
+            c, (k, k), padding=(k - 1) // 2, dtype=self.dtype, precision=conv_precision(self.dtype), name=name
         )
         x = upsample2x_bilinear(x)
         x = jnp.concatenate([x, skip], axis=-1)
@@ -138,18 +146,18 @@ class RegressionModule(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = leaky_relu(nn.Conv(128, (2, 3), padding="VALID", dtype=self.dtype, precision="highest", name="c1")(x))
+        x = leaky_relu(nn.Conv(128, (2, 3), padding="VALID", dtype=self.dtype, precision=conv_precision(self.dtype), name="c1")(x))
         x = avg_pool(x, 2)
-        x = leaky_relu(nn.Conv(128, (3, 3), padding="VALID", dtype=self.dtype, precision="highest", name="c2")(x))
+        x = leaky_relu(nn.Conv(128, (3, 3), padding="VALID", dtype=self.dtype, precision=conv_precision(self.dtype), name="c2")(x))
         x = leaky_relu(
-            nn.Conv(32, (3, 3), padding="VALID", use_bias=False, dtype=self.dtype, precision="highest", name="c3")(x)
+            nn.Conv(32, (3, 3), padding="VALID", use_bias=False, dtype=self.dtype, precision=conv_precision(self.dtype), name="c3")(x)
         )
         b = x.shape[0]
         # flatten in torch CHW order so converted checkpoints line up exactly
         x = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, -1)
-        x = nn.Dense(256, dtype=self.dtype, precision="highest", name="l1")(x)
+        x = nn.Dense(256, dtype=self.dtype, precision=conv_precision(self.dtype), name="l1")(x)
         x = jax.nn.selu(x)
-        x = nn.Dense(10, dtype=self.dtype, precision="highest", name="l2")(x)
+        x = nn.Dense(10, dtype=self.dtype, precision=conv_precision(self.dtype), name="l2")(x)
 
         c1 = jnp.tanh(x[:, 0:2])
         ab1 = jax.nn.sigmoid(x[:, 2:4])
@@ -178,7 +186,7 @@ class StyleEncoder(nn.Module):
             def apply(h):
                 h = jnp.pad(h, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
                 return nn.Conv(c, (k, k), strides=(s, s), padding="VALID",
-                               dtype=self.dtype, precision="highest", name=name)(h)
+                               dtype=self.dtype, precision=conv_precision(self.dtype), name=name)(h)
             return apply
 
         d = self.dim
@@ -189,7 +197,7 @@ class StyleEncoder(nn.Module):
         for i in range(self.n_downsample - 2):
             x = nn.relu(rconv(d, 4, 2, 1, f"conv{i + 3}")(x))
         x = jnp.mean(x, axis=(1, 2), keepdims=True)  # AdaptiveAvgPool2d(1)
-        x = nn.Conv(self.style_dim, (1, 1), dtype=self.dtype, precision="highest", name="conv_out")(x)
+        x = nn.Conv(self.style_dim, (1, 1), dtype=self.dtype, precision=conv_precision(self.dtype), name="conv_out")(x)
         return x.reshape(x.shape[0], -1)
 
 
@@ -203,10 +211,10 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, precision="highest", name="fc0")(x))
+        x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, precision=conv_precision(self.dtype), name="fc0")(x))
         for i in range(self.n_blk - 2):
-            x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, precision="highest", name=f"fc{i + 1}")(x))
-        return nn.Dense(self.out_dim, dtype=self.dtype, precision="highest", name=f"fc{self.n_blk - 1}")(x)
+            x = nn.relu(nn.Dense(self.hidden, dtype=self.dtype, precision=conv_precision(self.dtype), name=f"fc{i + 1}")(x))
+        return nn.Dense(self.out_dim, dtype=self.dtype, precision=conv_precision(self.dtype), name=f"fc{self.n_blk - 1}")(x)
 
 
 class LinStack(nn.Module):
@@ -228,7 +236,7 @@ class LinStack(nn.Module):
             if self.act:
                 x = jax.nn.selu(x)
             feats = self.hidden_dim if i < self.num_layers - 1 else self.out_dim
-            x = nn.Dense(feats, dtype=self.dtype, precision="highest", name=f"lin{i}")(x)
+            x = nn.Dense(feats, dtype=self.dtype, precision=conv_precision(self.dtype), name=f"lin{i}")(x)
         return x
 
 

@@ -1,0 +1,86 @@
+"""Checkpoint / resume management (orbax).
+
+Counterpart of the reference's checkpointing (SURVEY §5): per-epoch
+``<model>_<ep>.pkl`` saves with dsIdentify keys stripped (reference
+train.py:445-447, 486-488), a best-metric checkpoint via EarlyStopping
+(pytorchtools.py:60-67), and priority-ordered resume (pytorchtools.py:140-154:
+checkpoint first, then the explicit loadfile).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def _to_saveable(state, include_ds=False):
+    d = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    if include_ds:
+        # the reference strips dsIdentify from saved checkpoints
+        d["ds_params"] = state.ds_params
+    return d
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep: int = 3):
+        import orbax.checkpoint as ocp
+
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._ocp = ocp
+        self._ckptr = ocp.PyTreeCheckpointer()
+        self.keep = keep
+
+    def _path(self, tag):
+        return os.path.join(self.directory, str(tag))
+
+    def save(self, epoch: int, state, is_best: bool = False):
+        self._ckptr.save(self._path(f"epoch_{epoch}"), _to_saveable(state), force=True)
+        if is_best:
+            self._ckptr.save(self._path("best"), _to_saveable(state), force=True)
+        self._gc(epoch)
+
+    def _gc(self, newest_epoch: int):
+        eps = sorted(
+            int(d.split("_")[1]) for d in os.listdir(self.directory)
+            if d.startswith("epoch_")
+        )
+        for e in eps[: max(0, len(eps) - self.keep)]:
+            import shutil
+
+            shutil.rmtree(self._path(f"epoch_{e}"), ignore_errors=True)
+
+    def latest_epoch(self) -> Optional[int]:
+        eps = [
+            int(d.split("_")[1]) for d in os.listdir(self.directory)
+            if d.startswith("epoch_")
+        ]
+        return max(eps) if eps else None
+
+    def restore(self, state, tag=None):
+        """Restore into an existing (template) state. Priority: explicit tag,
+        then best, then latest epoch (reference load priority semantics)."""
+        if tag is None:
+            if os.path.isdir(self._path("best")):
+                tag = "best"
+            else:
+                ep = self.latest_epoch()
+                if ep is None:
+                    raise FileNotFoundError(f"no checkpoints under {self.directory}")
+                tag = f"epoch_{ep}"
+        template = _to_saveable(state)
+        restored = self._ckptr.restore(self._path(tag), item=template)
+        return state._replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )

@@ -1,0 +1,312 @@
+"""Jitted train/eval steps and the experiment driver.
+
+TPU-native counterpart of the reference train driver (reference
+train.py:51-489):
+  * ONE jitted computation per step fusing the frozen edge net (when
+    provided), ESF-Net forward/backward, optimizer update, and on-device
+    batch metrics — the reference dispatches BDCN and the model separately
+    per batch (train.py:266-282) and round-trips predictions to sklearn on
+    CPU every batch (train.py:294-338);
+  * optax Adam with the dsIdentify head partitioned out of the main
+    optimizer and checkpoints (reference train.py:146, 447);
+  * data parallelism via a jax.sharding Mesh: params replicated, batch
+    sharded; XLA inserts the gradient all-reduce.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import ExperimentConfig
+from ..losses import compute_all_losses, conf_loss, el_pred_from_seg_centers
+from ..losses.point import self_consistency_loss
+from ..metrics import seg_iou_metrics, point_metric, angle_metric
+from ..geometry.points import unnorm_pts
+from ..parallel import make_mesh, batch_sharding, replicated_sharding
+from .schedule import alpha_schedule, composite_stop_metric, EarlyStopping, ReduceLROnPlateau
+
+
+class TrainState(NamedTuple):
+    params: Any        # main model params (dsIdentify excluded)
+    batch_stats: Any
+    opt_state: Any
+    ds_params: Any     # dsIdentify head params
+    ds_opt_state: Any
+    step: jnp.ndarray
+
+
+def _apply_edge_threshold(edge, enabled: bool):
+    """Hard edge threshold (reference utils.py:653-655): >= 0.1 -> 1.0."""
+    if not enabled:
+        return edge
+    return jnp.where(edge >= 0.1, jnp.ones_like(edge), edge)
+
+
+def batch_metrics(op, el_out, pred_c_seg, batch):
+    """On-device metrics matching what the reference tracks per batch
+    (train.py:294-338): per-class IoU, latent & seg center distances (px),
+    angular errors (deg), scale ratios."""
+    h, w = op.shape[1], op.shape[2]
+    pred = jnp.argmax(op, axis=-1)
+    mean_iou, per_class, _ = seg_iou_metrics(batch["target"], pred, batch["cond"][:, 1])
+
+    pup_lat = unnorm_pts(el_out[:, 5:7], (h, w), jnp)
+    iri_lat = unnorm_pts(el_out[:, 0:2], (h, w), jnp)
+    pup_seg = unnorm_pts(pred_c_seg[:, 1], (h, w), jnp)
+    iri_seg = unnorm_pts(pred_c_seg[:, 0], (h, w), jnp)
+    pup_c_lat = point_metric(batch["pupil_center"], pup_lat, batch["cond"][:, 0])[0]
+    iri_c_lat = point_metric(batch["iris_center"], iri_lat, batch["cond"][:, 1])[0]
+    pup_c_seg = point_metric(batch["pupil_center"], pup_seg, batch["cond"][:, 0])[0]
+    iri_c_seg = point_metric(batch["iris_center"], iri_seg, batch["cond"][:, 1])[0]
+    pup_ang = angle_metric(batch["el_norm"][:, 1, 4], el_out[:, 9], batch["cond"][:, 1])[0]
+    iri_ang = angle_metric(batch["el_norm"][:, 0, 4], el_out[:, 4], batch["cond"][:, 1])[0]
+    return {
+        "mean_iou": mean_iou,
+        "per_class_iou": per_class,
+        "pup_c_lat": pup_c_lat,
+        "iri_c_lat": iri_c_lat,
+        "pup_c_seg": pup_c_seg,
+        "iri_c_seg": iri_c_seg,
+        "pup_ang": pup_ang,
+        "iri_ang": iri_ang,
+    }
+
+
+def make_train_step(model, ds_head_apply, tx, ds_tx, edge_fn=None,
+                    edge_thres=False, self_corr=False, disentangle=True,
+                    train_ds_head=True, donate=True):
+    """Build the jitted global-view train step.
+
+    model: flax ESFNet-like module (apply(x, edge, train) -> op, el_out, latent)
+    ds_head_apply: fn(ds_params, latent) -> logits
+    edge_fn: optional fn(image[B,H,W,1]) -> edge[B,H,W,1] (frozen, fused in)
+    """
+
+    def loss_fn(params, batch_stats, ds_params, batch, edge, alpha):
+        (op, el_out, latent), mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"], edge, train=True, mutable=["batch_stats"],
+        )
+        out = compute_all_losses(
+            op, el_out, batch["target"], batch["pupil_center"], batch["el_norm"],
+            batch["spat_weights"], batch["dist_map"], batch["cond"], alpha,
+        )
+        loss = out.total
+        el_pred = el_pred_from_seg_centers(out.pred_c_seg, el_out)
+        if self_corr:
+            mask_valid = (1.0 - batch["cond"][:, 1]).astype(op.dtype)
+            loss = loss + 10.0 * self_consistency_loss(op, el_pred, mask_valid)
+        if disentangle:
+            # confusion term only — the reference never activates the
+            # secondary phase in its driver (SURVEY §2.3)
+            logits = ds_head_apply(ds_params, latent)
+            loss = loss + 2.0 * conf_loss(logits, batch["im_info"][:, 2], True)
+        return loss, (mut["batch_stats"], op, el_out, latent, out)
+
+    def ds_loss_fn(ds_params, latent, ds_id):
+        logits = ds_head_apply(ds_params, jax.lax.stop_gradient(latent))
+        return conf_loss(logits, ds_id, False)
+
+    def train_step(state: TrainState, batch, alpha):
+        edge = batch["edge"] if edge_fn is None else edge_fn(batch["image"])
+        edge = jax.lax.stop_gradient(_apply_edge_threshold(edge, edge_thres))
+        grads, (new_bs, op, el_out, latent, out) = jax.grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, state.ds_params, batch, edge, alpha)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        if train_ds_head and disentangle:
+            ds_grads = jax.grad(ds_loss_fn)(state.ds_params, latent, batch["im_info"][:, 2])
+            ds_updates, new_ds_opt = ds_tx.update(ds_grads, state.ds_opt_state, state.ds_params)
+            new_ds_params = optax.apply_updates(state.ds_params, ds_updates)
+        else:
+            new_ds_params, new_ds_opt = state.ds_params, state.ds_opt_state
+
+        metrics = batch_metrics(op, el_out, out.pred_c_seg, batch)
+        metrics["loss"] = out.total
+        new_state = TrainState(new_params, new_bs, new_opt, new_ds_params,
+                               new_ds_opt, state.step + 1)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, edge_fn=None, edge_thres=False):
+    """Jitted eval step: forward + loss(alpha) + on-device metrics."""
+
+    def eval_step(params, batch_stats, batch, alpha):
+        edge = batch["edge"] if edge_fn is None else edge_fn(batch["image"])
+        edge = _apply_edge_threshold(edge, edge_thres)
+        op, el_out, latent = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"], edge, train=False,
+        )
+        out = compute_all_losses(
+            op, el_out, batch["target"], batch["pupil_center"], batch["el_norm"],
+            batch["spat_weights"], batch["dist_map"], batch["cond"], alpha,
+        )
+        metrics = batch_metrics(op, el_out, out.pred_c_seg, batch)
+        metrics["loss"] = out.total
+        el_pred = el_pred_from_seg_centers(out.pred_c_seg, el_out)
+        return metrics, (op, el_out, el_pred, latent)
+
+    return jax.jit(eval_step)
+
+
+@dataclass
+class Trainer:
+    """Experiment driver: epochs, schedules, checkpoints, logging.
+
+    Mirrors the reference epoch loop (train.py:246-489) minus its
+    GPU->CPU->sklearn round trips: all step work happens in one jitted
+    computation; only small metric scalars come back to the host.
+    """
+
+    config: ExperimentConfig
+    model: Any
+    ds_head: Any = None
+    edge_fn: Optional[Callable] = None
+    log_fn: Optional[Callable] = print
+
+    def __post_init__(self):
+        cfg = self.config
+        self.mesh = make_mesh(cfg.mesh_shape)
+        self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
+        self.ds_tx = optax.adam(cfg.lr)
+        self.plateau = ReduceLROnPlateau(lr=cfg.lr, patience=5, factor=0.1)
+        self.early = EarlyStopping(patience=10, delta=1e-3)
+        variant = cfg.variant
+        self.train_step = make_train_step(
+            self.model,
+            self._ds_apply,
+            self.tx,
+            self.ds_tx,
+            edge_fn=self.edge_fn,
+            edge_thres=bool(variant.edge_thres or cfg.edge_thres),
+            self_corr=cfg.self_corr,
+            disentangle=cfg.disentangle,
+            donate=cfg.donate_state,
+        )
+        self.eval_step = make_eval_step(
+            self.model, edge_fn=self.edge_fn,
+            edge_thres=bool(variant.edge_thres or cfg.edge_thres),
+        )
+
+    def _ds_apply(self, ds_params, latent):
+        if self.ds_head is None:
+            # degenerate 0-logit head; conf_loss on it is constant
+            return jnp.zeros((latent.shape[0], 2), latent.dtype)
+        return self.ds_head.apply({"params": ds_params}, latent)
+
+    def init_state(self, sample_batch, rng=None) -> TrainState:
+        rng = rng if rng is not None else jax.random.PRNGKey(self.config.seed)
+        # traced init: eager flax init dispatches every conv as its own XLA
+        # program — a single jitted init compiles once
+        variables = jax.jit(
+            lambda r, a, b: self.model.init(r, a, b, train=False)
+        )(rng, sample_batch["image"], sample_batch["edge"])
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        if self.ds_head is not None:
+            latent_dim = self.config.variant.feature_channels
+            ds_vars = self.ds_head.init(rng, jnp.zeros((1, latent_dim)))
+            ds_params = ds_vars["params"]
+        else:
+            ds_params = {}
+        state = TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+            ds_params=ds_params,
+            ds_opt_state=self.ds_tx.init(ds_params),
+            step=jnp.zeros((), jnp.int32),
+        )
+        return jax.device_put(state, replicated_sharding(self.mesh))
+
+    def set_lr(self, state: TrainState, lr: float) -> TrainState:
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        return state._replace(opt_state=opt_state)
+
+    def run_epoch(self, state, pipeline, epoch):
+        alpha = alpha_schedule(epoch, self.config.epochs)
+        agg = []
+        t0 = time.time()
+        nb = 0
+        for batch in pipeline:
+            state, metrics = self.train_step(state, batch, alpha)
+            agg.append(metrics)
+            nb += 1
+            if self.config.test_normal and nb > 50:
+                break
+        agg = jax.device_get(agg)
+        summary = {
+            k: float(np.nanmean([np.asarray(m[k]) for m in agg]))
+            for k in agg[0]
+            if k != "per_class_iou"
+        }
+        summary["per_class_iou"] = np.nanmean(
+            np.stack([np.asarray(m["per_class_iou"]) for m in agg]), axis=0
+        )
+        summary["sec"] = time.time() - t0
+        summary["steps"] = nb
+        return state, summary
+
+    def evaluate(self, state, pipeline, alpha=0.0, max_batches=None):
+        agg = []
+        for i, batch in enumerate(pipeline):
+            if max_batches is not None and i >= max_batches:
+                break
+            metrics, _ = self.eval_step(state.params, state.batch_stats, batch, alpha)
+            agg.append(metrics)
+        agg = jax.device_get(agg)
+        out = {
+            k: float(np.nanmean([np.asarray(m[k]) for m in agg]))
+            for k in agg[0]
+            if k != "per_class_iou"
+        }
+        out["per_class_iou"] = np.nanmean(
+            np.stack([np.asarray(m["per_class_iou"]) for m in agg]), axis=0
+        )
+        return out
+
+    def stop_metric(self, valid):
+        return composite_stop_metric(
+            valid["mean_iou"], valid["pup_c_lat"], valid["iri_c_lat"],
+            valid["pup_ang"], valid["iri_ang"],
+        )
+
+    def fit(self, train_pipe, valid_pipe, checkpointer=None, start_epoch=0):
+        """Full training run. Returns (state, history)."""
+        state = self.init_state(next(iter(valid_pipe)))
+        history = []
+        for epoch in range(start_epoch, self.config.epochs):
+            state, train_sum = self.run_epoch(state, train_pipe, epoch)
+            valid_sum = self.evaluate(state, valid_pipe,
+                                      alpha=alpha_schedule(epoch, self.config.epochs))
+            metric = self.stop_metric(valid_sum)
+            new_lr = self.plateau.step(metric)
+            state = self.set_lr(state, new_lr)
+            improved = self.early.step(metric)
+            history.append({"epoch": epoch, "train": train_sum, "valid": valid_sum,
+                            "stop_metric": metric, "lr": new_lr})
+            if self.log_fn:
+                self.log_fn(
+                    f"epoch {epoch}: loss {train_sum['loss']:.4f} "
+                    f"mIoU {valid_sum['mean_iou']:.4f} stop {metric:.4f} lr {new_lr:.2e}"
+                )
+            if checkpointer is not None:
+                checkpointer.save(epoch, state, is_best=improved)
+            if self.early.early_stop:
+                if self.log_fn:
+                    self.log_fn(f"early stopping at epoch {epoch}")
+                break
+        return state, history

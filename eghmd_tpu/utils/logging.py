@@ -1,0 +1,65 @@
+"""Experiment logging: append-mode file + stdout mirror + TensorBoard scalars.
+
+Counterpart of the reference Logger (utils.py:83-118) and its tensorboardX
+scalar groups (train.py:402-439). tensorboardX is optional; the file/stdout
+logger always works.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+
+class ExperimentLogger:
+    def __init__(self, log_dir: str, tb: bool = True):
+        self.log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        self._f = open(os.path.join(log_dir, "logs.log"), "a+")
+        self.writer = None
+        if tb:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self.writer = SummaryWriter(os.path.join(log_dir, "TB.lock"))
+            except Exception:
+                self.writer = None
+
+    def write(self, msg: str):
+        stamp = time.strftime("%H:%M:%S")
+        self._f.write(f"[{stamp}] {msg}\n")
+        self._f.flush()
+        print(msg, flush=True)
+
+    def scalars(self, epoch: int, train: dict, valid: dict):
+        """Mirror the reference's iris/pupil scalar groups (train.py:402-430)."""
+        if self.writer is None:
+            return
+        pairs = [
+            ("iri_c/mu", "iri_c_lat"), ("pup_c/mu", "pup_c_lat"),
+            ("iri_ang/mu", "iri_ang"), ("pup_ang/mu", "pup_ang"),
+        ]
+        for tag, key in pairs:
+            self.writer.add_scalars(tag, {"train": train.get(key, np.nan),
+                                          "valid": valid.get(key, np.nan)}, epoch)
+        self.writer.add_scalar("loss/train", train.get("loss", np.nan), epoch)
+        self.writer.add_scalar("loss/valid", valid.get("loss", np.nan), epoch)
+
+    def dump_history(self, history):
+        def clean(o):
+            if isinstance(o, dict):
+                return {k: clean(v) for k, v in o.items()}
+            if isinstance(o, (list, tuple)):
+                return [clean(v) for v in o]
+            if isinstance(o, np.ndarray):
+                return o.tolist()
+            if isinstance(o, (np.floating, np.integer)):
+                return o.item()
+            return o
+
+        with open(os.path.join(self.log_dir, "history.json"), "w") as f:
+            json.dump(clean(history), f, indent=1)

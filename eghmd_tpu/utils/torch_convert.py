@@ -130,3 +130,43 @@ def load_reference_esfnet_checkpoint(path, setting):
     netdict = torch.load(path, map_location="cpu", weights_only=False)
     sd = netdict["state_dict"] if "state_dict" in netdict else netdict
     return esfnet_torch_to_flax(sd, setting)
+
+
+def bdcn_torch_to_flax(state_dict):
+    """Reference BDCN checkpoint ('gen_00000016.pt' key 'a', reference
+    train.py:126-127) -> flax BDCN variables. Fixed bilinear upsample kernels
+    are analytic constants in our module and are skipped (verified equal by
+    tests)."""
+    sd = _as_numpy(strip_module_prefix(state_dict))
+    params: dict = {}
+
+    # VGG16_C backbone
+    for name in [
+        "conv1_1", "conv1_2", "conv2_1", "conv2_2", "conv3_1", "conv3_2",
+        "conv3_3", "conv4_1", "conv4_2", "conv4_3", "conv5_1", "conv5_2",
+        "conv5_3",
+    ]:
+        _convert_conv(sd, params, f"features.{name}", ("features", name))
+
+    # MSBlocks + down convs + score heads per stage
+    stage_blocks = {1: 2, 2: 2, 3: 3, 4: 3, 5: 3}
+    for s, nb in stage_blocks.items():
+        for j in range(1, nb + 1):
+            for cname in ("conv", "conv1", "conv2", "conv3"):
+                _convert_conv(sd, params, f"msblock{s}_{j}.{cname}",
+                              (f"msblock{s}_{j}", cname))
+            _convert_conv(sd, params, f"conv{s}_{j}_down", (f"conv{s}_{j}_down",))
+        _convert_conv(sd, params, f"score_dsn{s}", (f"score_dsn{s}",))
+        _convert_conv(sd, params, f"score_dsn{s}_1", (f"score_dsn{s}_1",))
+
+    _convert_conv(sd, params, "fuse", ("fuse",))
+    return {"params": params}
+
+
+def load_reference_bdcn_checkpoint(path):
+    """Load the reference's 'gen_00000016.pt' (torch pickle, key 'a')."""
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    sd = raw["a"] if isinstance(raw, dict) and "a" in raw else raw
+    return bdcn_torch_to_flax(sd)

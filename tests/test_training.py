@@ -1,0 +1,125 @@
+"""Training-stack integration tests on a virtual 8-device CPU mesh.
+
+The overfit-2-batches check is the reference's own training smoke test
+(reference train.py:208-212, args.py:40).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eghmd_tpu.config import ExperimentConfig, VARIANT_PRESETS
+from eghmd_tpu.data import SyntheticEyeDataset, DataPipeline
+from eghmd_tpu.models import ESFNet
+from eghmd_tpu.models.blocks import LinStack
+from eghmd_tpu.parallel import make_mesh, batch_sharding
+from eghmd_tpu.training import Trainer, alpha_schedule, ReduceLROnPlateau, EarlyStopping
+from eghmd_tpu.training.checkpoints import CheckpointManager
+
+SIZE = (48, 64)  # small images: regression head needs /16 spatial >= (2, 3)... use eval-free path
+
+
+def make_trainer(setting="baseline", size=(240, 320), **overrides):
+    cfg = ExperimentConfig(setting=setting, epochs=4, batchsize=8,
+                           image_size=size, disentangle=True, **overrides)
+    model = ESFNet(setting=cfg.variant)
+    ds_head = LinStack(64, 2, num_layers=2, act=False)
+    return Trainer(cfg, model, ds_head=ds_head, log_fn=None)
+
+
+@pytest.fixture(scope="module")
+def mesh_pipe():
+    mesh = make_mesh()
+    ds = SyntheticEyeDataset(16, (240, 320), seed=3)
+    pipe = DataPipeline(ds, batch_size=8, sharding=batch_sharding(mesh),
+                        shuffle=False, num_workers=4)
+    return mesh, pipe
+
+
+class TestSchedules:
+    def test_alpha(self):
+        assert alpha_schedule(0, 10) == 0.0
+        assert alpha_schedule(5, 10) == 0.5
+        assert alpha_schedule(12, 10) == 1.0
+
+    def test_plateau(self):
+        s = ReduceLROnPlateau(lr=1e-3, patience=2, factor=0.1)
+        for m in [1.0, 1.1, 1.2]:
+            assert s.step(m) == 1e-3
+        for m in [1.2, 1.2, 1.2]:
+            lr = s.step(m)
+        assert np.isclose(lr, 1e-4)
+
+    def test_early_stopping(self):
+        e = EarlyStopping(patience=3, delta=1e-3)
+        assert e.step(1.0)  # first -> best
+        assert e.step(1.1)
+        for _ in range(3):
+            assert not e.step(1.1005)  # below delta
+        assert e.early_stop
+
+
+class TestTrainStep:
+    def test_overfit_two_batches(self, mesh_pipe):
+        """Loss must drop substantially when overfitting 2 fixed batches."""
+        mesh, pipe = mesh_pipe
+        trainer = make_trainer()
+        batches = list(pipe)
+        state = trainer.init_state(batches[0])
+        first = None
+        last = None
+        for it in range(30):
+            for b in batches:
+                state, metrics = trainer.train_step(state, b, 0.5)
+            loss = float(metrics["loss"])
+            first = loss if first is None else first
+            last = loss
+        assert np.isfinite(last)
+        assert last < 0.5 * first, (first, last)
+
+    def test_metrics_improve(self, mesh_pipe):
+        mesh, pipe = mesh_pipe
+        trainer = make_trainer()
+        batches = list(pipe)
+        state = trainer.init_state(batches[0])
+        m0 = trainer.evaluate(state, batches)
+        for _ in range(25):
+            for b in batches:
+                state, _ = trainer.train_step(state, b, 0.5)
+        m1 = trainer.evaluate(state, batches)
+        assert m1["mean_iou"] > m0["mean_iou"]
+        assert m1["pup_c_seg"] < m0["pup_c_seg"]
+
+    def test_state_is_replicated_grads_allreduced(self, mesh_pipe):
+        """Params stay replicated across the 8-device mesh after a step."""
+        mesh, pipe = mesh_pipe
+        trainer = make_trainer()
+        b = next(iter(pipe))
+        state = trainer.init_state(b)
+        state, _ = trainer.train_step(state, b, 0.0)
+        leaf = jax.tree.leaves(state.params)[0]
+        assert leaf.sharding.is_fully_replicated
+
+    def test_checkpoint_roundtrip(self, mesh_pipe, tmp_path):
+        mesh, pipe = mesh_pipe
+        trainer = make_trainer()
+        b = next(iter(pipe))
+        state = trainer.init_state(b)
+        state, _ = trainer.train_step(state, b, 0.0)
+        ck = CheckpointManager(str(tmp_path / "ck"), keep=2)
+        ck.save(0, state, is_best=True)
+        state2 = trainer.init_state(b)
+        state2 = ck.restore(state2)
+        for a, c in zip(jax.tree.leaves(state.params), jax.tree.leaves(state2.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+        assert int(state2.step) == 1
+
+    def test_lr_update_applies(self, mesh_pipe):
+        mesh, pipe = mesh_pipe
+        trainer = make_trainer()
+        b = next(iter(pipe))
+        state = trainer.init_state(b)
+        state = trainer.set_lr(state, 1e-5)
+        state, _ = trainer.train_step(state, b, 0.0)  # must not recompile-crash
+        assert float(state.opt_state.hyperparams["learning_rate"]) == pytest.approx(1e-5)
