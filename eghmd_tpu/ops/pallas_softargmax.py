@@ -1,0 +1,81 @@
+"""Pallas TPU kernel: fused spatial soft-argmax (center of mass).
+
+The seg->center extraction (reference loss.py:16-46) is softmax over the
+flattened H*W map times the normalized meshgrid, reduced to 2 coordinates.
+The XLA lowering materializes the [B, H*W] softmax in HBM between the
+normalization and the two weighted reductions; this kernel computes
+max / exp / three weighted sums in ONE pass over VMEM-resident tiles,
+so each logit map is read exactly once from HBM.
+
+Used by the serving path; the jnp reference implementation
+(:func:`eghmd_tpu.losses.point.seg_to_pt_loss`) remains the autodiff path
+for training (the kernel is forward-only).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+from ..geometry.points import create_meshgrid
+
+
+def _kernel(op_ref, xloc_ref, yloc_ref, out_ref, *, temperature):
+    x = op_ref[:] * temperature                    # [TB, HW]
+    m = jnp.max(x, axis=1, keepdims=True)
+    e = jnp.exp(x - m)
+    s = jnp.sum(e, axis=1)                         # [TB]
+    sx = jnp.sum(e * xloc_ref[:], axis=1)
+    sy = jnp.sum(e * yloc_ref[:], axis=1)
+    out_ref[:] = jnp.stack([sx / s, sy / s], axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def soft_argmax_2d(op_channel, temperature: float = 4.0):
+    """[B, H, W] logits -> [B, 2] normalized (x, y) center of mass.
+
+    Numerically identical (up to fp assoc.) to the softmax-expectation in
+    seg_to_pt_loss; returns only the predicted points.
+    """
+    b, h, w = op_channel.shape
+    hw = h * w
+    grid_pts = create_meshgrid(h, w, True, jnp, dtype=op_channel.dtype)
+    xloc = grid_pts[..., 0].reshape(1, hw)
+    yloc = grid_pts[..., 1].reshape(1, hw)
+    flat = op_channel.reshape(b, hw)
+
+    if not _HAS_PALLAS:  # pragma: no cover
+        return _reference(flat, xloc, yloc, temperature)
+
+    tb = min(8, b)
+    if b % tb != 0:
+        tb = 1
+    kernel = functools.partial(_kernel, temperature=temperature)
+    interpret = jax.devices()[0].platform != "tpu"
+    return pl.pallas_call(
+        kernel,
+        grid=(b // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, hw), lambda i: (i, 0)),
+            pl.BlockSpec((1, hw), lambda i: (0, 0)),
+            pl.BlockSpec((1, hw), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tb, 2), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, 2), op_channel.dtype),
+        interpret=interpret,
+    )(flat, xloc, yloc)
+
+
+def _reference(flat, xloc, yloc, temperature):
+    wt = jax.nn.softmax(flat * temperature, axis=-1)
+    return jnp.stack([jnp.sum(wt * xloc[0], -1), jnp.sum(wt * yloc[0], -1)], axis=-1)

@@ -1,0 +1,69 @@
+"""Native C++ host ops: parity against scipy and throughput sanity."""
+
+import time
+
+import numpy as np
+import pytest
+
+from eghmd_tpu.runtime import hostops_native
+from eghmd_tpu.data.hostops import one_hot_to_dist
+
+pytestmark = pytest.mark.skipif(
+    not hostops_native.available(), reason="native hostops unavailable (no g++)"
+)
+
+
+def test_edt_matches_scipy():
+    from scipy.ndimage import distance_transform_edt
+
+    rng = np.random.RandomState(0)
+    seeds = (rng.rand(120, 160) < 0.01).astype(np.uint8)
+    seeds[60, 80] = 1
+    ours = hostops_native.edt_to_nonzero(seeds)
+    # scipy: distance to nearest zero of input -> invert seeds
+    ref = distance_transform_edt(1 - seeds)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_signed_distance_maps_match_python():
+    rng = np.random.RandomState(1)
+    label = np.zeros((120, 160), np.int32)
+    label[30:80, 40:120] = 1
+    label[45:65, 60:100] = 2
+    native = hostops_native.signed_distance_maps(label, 3)
+    for c in range(3):
+        ref = one_hot_to_dist(label == c)
+        np.testing.assert_allclose(native[..., c], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_absent_class_zeroed():
+    label = np.zeros((32, 32), np.int32)
+    native = hostops_native.signed_distance_maps(label, 3)
+    assert np.all(native[..., 1] == 0) and np.all(native[..., 2] == 0)
+    assert np.any(native[..., 0] != 0)
+
+
+def test_boundary_weights_values():
+    label = np.zeros((64, 64), np.int32)
+    label[20:40, 20:40] = 2
+    w = hostops_native.boundary_weights(label)
+    assert w.min() == 1.0 and w.max() == 21.0
+
+
+def test_speedup_vs_scipy():
+    rng = np.random.RandomState(2)
+    label = rng.randint(0, 3, (240, 320)).astype(np.int32)
+    # warm
+    hostops_native.signed_distance_maps(label, 3)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        hostops_native.signed_distance_maps(label, 3)
+    native_t = (time.perf_counter() - t0) / 5
+
+    t0 = time.perf_counter()
+    for _ in range(5):
+        for c in range(3):
+            one_hot_to_dist(label == c)
+    scipy_t = (time.perf_counter() - t0) / 5
+    # must be at least 2x faster (usually ~5-10x)
+    assert native_t < scipy_t / 2, (native_t, scipy_t)

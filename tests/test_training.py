@@ -17,10 +17,9 @@ from eghmd_tpu.parallel import make_mesh, batch_sharding
 from eghmd_tpu.training import Trainer, alpha_schedule, ReduceLROnPlateau, EarlyStopping
 from eghmd_tpu.training.checkpoints import CheckpointManager
 
-SIZE = (48, 64)  # small images: regression head needs /16 spatial >= (2, 3)... use eval-free path
 
 
-def make_trainer(setting="baseline", size=(240, 320), **overrides):
+def make_trainer(setting="baseline", size=(176, 192), **overrides):
     cfg = ExperimentConfig(setting=setting, epochs=4, batchsize=8,
                            image_size=size, disentangle=True, **overrides)
     model = ESFNet(setting=cfg.variant)
@@ -31,7 +30,7 @@ def make_trainer(setting="baseline", size=(240, 320), **overrides):
 @pytest.fixture(scope="module")
 def mesh_pipe():
     mesh = make_mesh()
-    ds = SyntheticEyeDataset(16, (240, 320), seed=3)
+    ds = SyntheticEyeDataset(16, (176, 192), seed=3)  # min size for the regression head
     pipe = DataPipeline(ds, batch_size=8, sharding=batch_sharding(mesh),
                         shuffle=False, num_workers=4)
     return mesh, pipe
@@ -69,7 +68,7 @@ class TestTrainStep:
         state = trainer.init_state(batches[0])
         first = None
         last = None
-        for it in range(30):
+        for it in range(15):
             for b in batches:
                 state, metrics = trainer.train_step(state, b, 0.5)
             loss = float(metrics["loss"])
@@ -84,7 +83,7 @@ class TestTrainStep:
         batches = list(pipe)
         state = trainer.init_state(batches[0])
         m0 = trainer.evaluate(state, batches)
-        for _ in range(25):
+        for _ in range(12):
             for b in batches:
                 state, _ = trainer.train_step(state, b, 0.5)
         m1 = trainer.evaluate(state, batches)
