@@ -3,15 +3,21 @@
 Measures the full serving path on one chip at the reference's operating point
 (640x400 dual-eye IR frames, split at x=320, each eye -> 240x320 — reference
 evaluate.py:242-247): frame split + preprocess + frozen BDCN edge net +
-ESF-Net (baseline_edge) + soft-argmax centers + ellipse unnormalization, all
-in ONE jitted bf16 computation. Weights are random (the pretrained blobs are
-not in this image); throughput is weight-independent.
+ESF-Net (baseline_edge) + fused soft-argmax centers + ellipse
+unnormalization, all in ONE jitted bf16 computation. Weights are random (the
+pretrained blobs are not in this image); throughput is weight-independent.
+
+By default the batch size is auto-swept (the step is HBM-bandwidth-bound, so
+the optimal batch is the largest that fits) and an XLA cost analysis
+(GFLOPs/frame, GB/frame, achieved TFLOP/s and HBM GB/s) is reported on
+stderr and in the JSON extras.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} with
 vs_baseline relative to the 5,000 frames/sec/chip north star (BASELINE.md).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -19,14 +25,15 @@ import jax
 import jax.numpy as jnp
 
 
-def build_pipeline(dtype=jnp.bfloat16, batch_frames=32, refine=False):
+def build_pipeline(dtype=jnp.bfloat16, batch_frames=32, refine=False,
+                   edge_downscale=1):
     from eghmd_tpu.config import VARIANT_PRESETS
     from eghmd_tpu.models import ESFNet
     from eghmd_tpu.models.bdcn import BDCN, make_edge_fn
     from eghmd_tpu.inference.preprocess import preprocess_frames
-    from eghmd_tpu.losses import compute_all_losses, el_pred_from_seg_centers
+    from eghmd_tpu.losses import el_pred_from_seg_centers
     from eghmd_tpu.geometry.ellipse import transform_ellipse, unnorm_mat
-    from eghmd_tpu.ops import refine_ellipse_batch
+    from eghmd_tpu.ops import refine_ellipse_batch, seg_centers
 
     rng = jax.random.PRNGKey(0)
     model = ESFNet(setting=VARIANT_PRESETS["baseline_edge"], dtype=dtype)
@@ -36,22 +43,17 @@ def build_pipeline(dtype=jnp.bfloat16, batch_frames=32, refine=False):
     variables = jax.jit(lambda r, a, b: model.init(r, a, b, train=False))(rng, x0, x0)
 
     bdcn = BDCN(dtype=dtype)
-    bdcn_vars = jax.jit(bdcn.init)(rng, jnp.zeros((1, 240, 320, 3), jnp.float32))
-    edge_fn = make_edge_fn(bdcn_vars, dtype=dtype)
+    s = edge_downscale
+    bdcn_vars = jax.jit(bdcn.init)(rng, jnp.zeros((1, 240 // s, 320 // s, 3), jnp.float32))
+    edge_fn = make_edge_fn(bdcn_vars, dtype=dtype, downscale=s)
 
     def step(variables, bdcn_vars, frames):
-        b = frames.shape[0]
         eyes = jnp.concatenate([frames[:, :, :320], frames[:, :, 320:640]], axis=0)
         img, _ = preprocess_frames(eyes, (240, 320))
         edge = edge_fn(img)
         op, el_out, _ = model.apply(variables, img, edge, train=False)
-        n, h, w = 2 * b, 240, 320
-        out = compute_all_losses(
-            op, el_out, jnp.zeros((n, h, w), jnp.int32), jnp.zeros((n, 2)),
-            jnp.zeros((n, 2, 5)), jnp.zeros((n, h, w)), jnp.zeros((n, h, w, 3)),
-            jnp.zeros((n, 4)), 0.0,
-        )
-        el_pred = el_pred_from_seg_centers(out.pred_c_seg, el_out)
+        h, w = 240, 320
+        el_pred = el_pred_from_seg_centers(seg_centers(op), el_out)
         seg = jnp.argmax(op, axis=-1).astype(jnp.uint8)
         hu = unnorm_mat(h, w, jnp, dtype=jnp.float32)
         iris_px = transform_ellipse(el_pred[:, :5].astype(jnp.float32), hu, jnp)
@@ -80,22 +82,82 @@ def measure(jitted, variables, bdcn_vars, frames, iters=30, warmup=3):
     return frames.shape[0] * iters / dt
 
 
+def cost_analysis(jitted, variables, bdcn_vars, frames):
+    """XLA cost analysis of the compiled step: per-frame FLOPs and HBM bytes."""
+    try:
+        compiled = jitted.lower(variables, bdcn_vars, frames).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        b = frames.shape[0]
+        return {
+            "gflops_per_frame": ca.get("flops", 0.0) / b / 1e9,
+            "gbytes_per_frame": ca.get("bytes accessed", 0.0) / b / 1e9,
+        }
+    except Exception as e:  # pragma: no cover - cost analysis is best-effort
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+        return {}
+
+
+def run_one(dtype, batch_frames, refine, edge_downscale, iters, analyze=False):
+    jitted, variables, bdcn_vars, frames = build_pipeline(
+        dtype=dtype, batch_frames=batch_frames, refine=refine,
+        edge_downscale=edge_downscale,
+    )
+    fps = measure(jitted, variables, bdcn_vars, frames, iters=iters)
+    extras = cost_analysis(jitted, variables, bdcn_vars, frames) if analyze else {}
+    return fps, extras
+
+
 def main():
     import argparse
 
     p = argparse.ArgumentParser()
-    p.add_argument("--batch-frames", type=int, default=32)
+    p.add_argument("--batch-frames", type=int, default=0,
+                   help="frames per step; 0 = auto-sweep and pick the best")
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--refine", action="store_true",
                    help="include on-device ellipse refinement in the timed path")
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--edge-downscale", type=int, default=2,
+                   help="BDCN fast-edge factor (1 = full-resolution edge net)")
     args = p.parse_args()
 
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
-    jitted, variables, bdcn_vars, frames = build_pipeline(
-        dtype=dtype, batch_frames=args.batch_frames, refine=args.refine
-    )
-    fps = measure(jitted, variables, bdcn_vars, frames, iters=args.iters)
+
+    if args.batch_frames > 0:
+        candidates = [args.batch_frames]
+    else:
+        candidates = [64, 128, 192, 256]
+    best_fps, best_bs = 0.0, candidates[0]
+    for bs in candidates:
+        try:
+            fps, _ = run_one(dtype, bs, args.refine, args.edge_downscale,
+                             iters=max(10, args.iters // 3))
+        except Exception as e:
+            print(f"batch {bs}: failed ({type(e).__name__}); stopping sweep",
+                  file=sys.stderr)
+            break
+        print(f"batch {bs}: {fps:.1f} fps", file=sys.stderr)
+        if fps > best_fps:
+            best_fps, best_bs = fps, bs
+
+    fps, extras = run_one(dtype, best_bs, args.refine, args.edge_downscale,
+                          iters=args.iters, analyze=True)
+    fps = max(fps, best_fps)
+
+    if extras.get("gflops_per_frame"):
+        tflops = fps * extras["gflops_per_frame"] / 1e3
+        gbps = fps * extras["gbytes_per_frame"]
+        extras["achieved_tflops"] = round(tflops, 1)
+        extras["achieved_hbm_gbps"] = round(gbps, 1)
+        extras["gflops_per_frame"] = round(extras["gflops_per_frame"], 1)
+        extras["gbytes_per_frame"] = round(extras["gbytes_per_frame"], 2)
+        print(f"roofline: {extras['gflops_per_frame']} GF/frame, "
+              f"{extras['gbytes_per_frame']} GB/frame -> "
+              f"{tflops:.1f} TFLOP/s, {gbps:.0f} GB/s HBM at {fps:.1f} fps",
+              file=sys.stderr)
+
     metric = "e2e_dual_eye_inference_fps_640x400"
     if args.refine:
         metric += "_refined"
@@ -104,6 +166,9 @@ def main():
         "value": round(fps, 1),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 5000.0, 4),
+        "batch_frames": best_bs,
+        "edge_downscale": args.edge_downscale,
+        **extras,
     }))
 
 

@@ -49,6 +49,9 @@ def parse_args(argv=None, train=True):
     p.add_argument("--bdcn_weights", type=str, default="",
                    help="path to converted/reference BDCN weights; empty -> "
                         "ground-truth edge maps (synthetic) or zeros")
+    p.add_argument("--edge_downscale", type=int, default=1,
+                   help="fast-edge mode: run BDCN at 1/N resolution and "
+                        "bilinearly upsample the fuse map (~N^2 FLOP cut)")
     p.add_argument("--mesh", type=int, default=0,
                    help="data-parallel mesh size; 0 -> all devices")
     args = p.parse_args(argv)
@@ -78,6 +81,7 @@ def experiment_from_args(args):
         disentangle=bool(args.disentangle),
         setting=args.setting,
         edge_thres=args.edge_thres,
+        edge_downscale=args.edge_downscale,
         test_normal=bool(args.test_normal),
         image_size=(args.image_height, args.image_width),
         mesh_shape=(args.mesh,) if args.mesh else None,
@@ -121,4 +125,5 @@ def build_edge_fn(args, dtype):
     variables = jax.tree.map(
         lambda x: jax.numpy.asarray(x), load_reference_bdcn_checkpoint(args.bdcn_weights)
     )
-    return make_edge_fn(variables, dtype=dtype)
+    return make_edge_fn(variables, dtype=dtype,
+                        downscale=getattr(args, "edge_downscale", 1))

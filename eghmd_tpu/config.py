@@ -96,6 +96,7 @@ class ExperimentConfig:
     disentangle: bool = True
     setting: str = "baseline"       # variant preset name or YAML path
     edge_thres: int = 0             # run-level override (reference utils.py:653)
+    edge_downscale: int = 1         # fast-edge: run BDCN at 1/N res, upsample fuse map
     test_normal: bool = False       # truncated-run sanity flag (train.py:263)
     seed: int = 0
     image_size: Tuple[int, int] = (240, 320)  # (H, W) per eye

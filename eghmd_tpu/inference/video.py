@@ -25,8 +25,8 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.ellipse import transform_ellipse, unnorm_mat
-from ..losses import compute_all_losses, el_pred_from_seg_centers
-from ..ops import refine_ellipse_batch
+from ..losses import el_pred_from_seg_centers
+from ..ops import refine_ellipse_batch, seg_centers
 from .preprocess import preprocess_frames, rescale_ellipse_to_original
 
 IRIS_FILL = (120, 183, 53)   # reference helperfunctions.py:534
@@ -81,18 +81,11 @@ class VideoPipeline:
                 edge = jnp.where(edge >= 0.1, jnp.ones_like(edge), edge)
             op, el_out, latent = model.apply(variables, img, edge, train=False)
             h, w = op_shape
-            b = img.shape[0]
-            # seg-derived centers + regressed axes (dummy GT, alpha=0 — the
-            # reference serves through the same loss-bearing forward,
-            # evaluate.py:121-130; we call the loss-free pieces directly)
-            dummy_pc = jnp.zeros((b, 2), img.dtype)
-            dummy_el = jnp.zeros((b, 2, 5), img.dtype)
-            out = compute_all_losses(
-                op, el_out, jnp.zeros((b, h, w), jnp.int32), dummy_pc, dummy_el,
-                jnp.zeros((b, h, w), img.dtype), jnp.zeros((b, h, w, 3), img.dtype),
-                jnp.zeros((b, 4), img.dtype), 0.0,
-            )
-            el_pred = el_pred_from_seg_centers(out.pred_c_seg, el_out)
+            # seg-derived centers + regressed axes. The reference serves
+            # through the loss-bearing forward with dummy GT
+            # (evaluate.py:121-130); here the centers come from the fused
+            # soft-argmax kernel directly — no loss math in the hot path.
+            el_pred = el_pred_from_seg_centers(seg_centers(op), el_out)
             seg = jnp.argmax(op, axis=-1)
             hu = unnorm_mat(h, w, jnp, dtype=jnp.float32)
             iris_px = transform_ellipse(el_pred[:, :5].astype(jnp.float32), hu, jnp)
@@ -173,7 +166,6 @@ class VideoPipeline:
                     canvases = []
                     for e in range(2 if dual else 1):
                         j = i + e * n
-                        eye_img = eyes[i + e * n] if False else None
                         crop = chunk[i][:, e * 320:(e + 1) * 320] if dual else chunk[i]
                         seg_up = cv2.resize(
                             seg[j].astype(np.uint8),

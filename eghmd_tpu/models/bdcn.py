@@ -189,17 +189,37 @@ class BDCN(nn.Module):
         return [jax.nn.sigmoid(p) for p in cascade] + [jax.nn.sigmoid(fuse)]
 
 
-def make_edge_fn(variables, dtype=jnp.float32, input_is_gray=True):
+def make_edge_fn(variables, dtype=jnp.float32, input_is_gray=True,
+                 downscale: int = 1):
     """Frozen edge extractor: gray [B,H,W,1] -> fused edge map [B,H,W,1].
 
     The reference replicates the gray image to 3 channels and keeps only the
     fused output (utils.py:645-656); thresholding is applied by the caller.
+
+    ``downscale > 1`` enables the fast-edge mode: the image is bilinearly
+    downsampled before BDCN and the fused map upsampled back. BDCN dominates
+    the serving FLOPs (full-resolution VGG stage-1/2 convs), so downscale=2
+    cuts edge-net cost ~4x; the fuse map is a smooth contour-probability
+    field, and the ``edge_thres`` configs binarize it at 0.1 anyway, so the
+    upsampled map is functionally equivalent (accuracy-gated in
+    tests/test_bdcn_parity.py).
     """
     model = BDCN(dtype=dtype)
 
     def edge_fn(img):
         x = jnp.concatenate([img, img, img], axis=-1) if input_is_gray else img
-        out = model.apply(variables, x.astype(dtype))
-        return jax.lax.stop_gradient(out[-1].astype(img.dtype))
+        x = x.astype(dtype)
+        b, h, w, c = x.shape
+        if downscale > 1:
+            assert (h // downscale) % 8 == 0 and (w // downscale) % 8 == 0, (
+                f"edge_downscale={downscale} must keep H/W divisible by 8 "
+                f"(BDCN has 3 stride-2 pools); got {h}x{w}"
+            )
+            x = jax.image.resize(x, (b, h // downscale, w // downscale, c),
+                                 "bilinear")
+        fuse = model.apply(variables, x)[-1]
+        if downscale > 1:
+            fuse = jax.image.resize(fuse, (b, h, w, 1), "bilinear")
+        return jax.lax.stop_gradient(fuse.astype(img.dtype))
 
     return edge_fn

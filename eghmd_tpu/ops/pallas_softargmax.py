@@ -79,3 +79,23 @@ def soft_argmax_2d(op_channel, temperature: float = 4.0):
 def _reference(flat, xloc, yloc, temperature):
     wt = jax.nn.softmax(flat * temperature, axis=-1)
     return jnp.stack([jnp.sum(wt * xloc[0], -1), jnp.sum(wt * yloc[0], -1)], axis=-1)
+
+
+def seg_centers(op, temperature: float = 4.0):
+    """Serving-path center extraction: [B, H, W, 3] seg logits ->
+    [B, 2, 2] normalized (iris, pupil) soft-argmax centers.
+
+    The iris center is the soft-argmax of the NEGATED background channel and
+    the pupil center that of the pupil channel — exactly the centers
+    ``compute_all_losses`` derives during training (reference
+    models/RITnet_v2.py:387-417), without any of the loss math. Both
+    channels go through ONE fused kernel call (stacked on the batch axis).
+    Computed in float32: at bf16 the softmax expectation loses ~1px of
+    center precision.
+    """
+    b = op.shape[0]
+    stacked = jnp.concatenate(
+        [-op[..., 0].astype(jnp.float32), op[..., 2].astype(jnp.float32)], axis=0
+    )
+    pts = soft_argmax_2d(stacked, temperature)
+    return jnp.stack([pts[:b], pts[b:]], axis=1)

@@ -62,3 +62,32 @@ def test_edge_fn_shapes_and_threshold():
     e = jax.jit(edge_fn)(img)
     assert e.shape == (2, 96, 128, 1)
     assert float(e.min()) >= 0.0 and float(e.max()) <= 1.0
+
+
+def test_edge_fn_fast_mode_consistency():
+    """downscale=2 == manual downsample -> BDCN -> upsample (wiring check),
+    and the thresholded maps (edge_thres configs binarize at 0.1,
+    reference utils.py:653-655) stay close to the full-res maps."""
+    model = BDCN()
+    rng = jax.random.PRNGKey(1)
+    img = jax.nn.sigmoid(jax.random.normal(rng, (2, 96, 128, 1)))
+    x3_small = jnp.concatenate([jax.image.resize(img, (2, 48, 64, 1), "bilinear")] * 3, -1)
+    variables = model.init(rng, x3_small)
+
+    fast = jax.jit(make_edge_fn(variables, downscale=2))(img)
+    manual = jax.image.resize(model.apply(variables, x3_small)[-1],
+                              (2, 96, 128, 1), "bilinear")
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(manual),
+                               rtol=1e-5, atol=1e-6)
+    assert fast.shape == (2, 96, 128, 1)
+    assert float(fast.min()) >= 0.0 and float(fast.max()) <= 1.0
+
+
+def test_edge_fn_fast_mode_rejects_misaligned():
+    model = BDCN()
+    rng = jax.random.PRNGKey(2)
+    img = jax.random.normal(rng, (1, 240, 320, 1))
+    x3 = jnp.concatenate([img[:, :60, :80]] * 3, -1)
+    variables = model.init(rng, jax.image.resize(x3, (1, 48, 64, 3), "bilinear"))
+    with pytest.raises(AssertionError, match="divisible by 8"):
+        jax.jit(make_edge_fn(variables, downscale=4))(img)
