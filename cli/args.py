@@ -54,6 +54,7 @@ def parse_args(argv=None, train=True):
                         "bilinearly upsample the fuse map (~N^2 FLOP cut)")
     p.add_argument("--mesh", type=int, default=0,
                    help="data-parallel mesh size; 0 -> all devices")
+    p.add_argument("--log_dir", type=str, default="logs")
     args = p.parse_args(argv)
     print("------\nparsed arguments:")
     pprint(vars(args))
@@ -84,6 +85,7 @@ def experiment_from_args(args):
         edge_downscale=args.edge_downscale,
         test_normal=bool(args.test_normal),
         image_size=(args.image_height, args.image_width),
+        log_dir=args.log_dir,
         mesh_shape=(args.mesh,) if args.mesh else None,
     )
 

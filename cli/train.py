@@ -22,12 +22,12 @@ def main(argv=None):
     import jax
 
     from eghmd_tpu.config import resolve_variant
-    from eghmd_tpu.data import DataPipeline
+    from eghmd_tpu.data import DataPipeline, Subset
     from eghmd_tpu.models import build_model
     from eghmd_tpu.models.blocks import LinStack
     from eghmd_tpu.parallel import batch_sharding
     from eghmd_tpu.training import Trainer
-    from eghmd_tpu.training.checkpoints import CheckpointManager
+    from eghmd_tpu.training.checkpoints import CheckpointManager, bootstrap_state
     from eghmd_tpu.utils.logging import ExperimentLogger
 
     variant = resolve_variant(args.setting)
@@ -42,10 +42,8 @@ def main(argv=None):
 
     if args.overfit > 0:
         # the reference's overfit-N smoke check (train.py:208-212)
-        train_ds.n = min(len(train_ds), args.overfit * args.batchsize) \
-            if hasattr(train_ds, "n") else train_ds.n
-        valid_ds.n = min(len(valid_ds), args.overfit * args.batchsize) \
-            if hasattr(valid_ds, "n") else valid_ds.n
+        train_ds = Subset(train_ds, args.overfit * args.batchsize)
+        valid_ds = Subset(valid_ds, args.overfit * args.batchsize)
 
     sharding = batch_sharding(trainer.mesh)
     train_pipe = DataPipeline(train_ds, cfg.batchsize, sharding=sharding,
@@ -54,7 +52,30 @@ def main(argv=None):
                               shuffle=False, num_workers=cfg.workers)
 
     ckpt = CheckpointManager(os.path.join(log_dir, "checkpoints"))
-    state, history = trainer.fit(train_pipe, valid_pipe, checkpointer=ckpt)
+    state = trainer.init_state(next(iter(valid_pipe)))
+    start_epoch = 0
+    if cfg.resume and ckpt.latest_epoch() is not None:
+        # resume the run in progress: restore the latest epoch's full state
+        # (params + optimizer + step) and continue at epoch+1
+        # (reference train.py:151-160)
+        last = ckpt.latest_epoch()
+        state = ckpt.restore(state, tag=f"epoch_{last}")
+        start_epoch = last + 1
+        logger.write(f"resumed from epoch {last}; continuing at {start_epoch}")
+    elif cfg.loadfile:
+        # pretrained bootstrap: weights only, fresh optimizer
+        # (reference train.py:162-172)
+        state = bootstrap_state(state, cfg.loadfile, setting=variant)
+        logger.write(f"bootstrapped weights from {cfg.loadfile}")
+    if start_epoch == 0:
+        # `_init` snapshot for lottery-ticket-style studies
+        # (reference train.py:174-178)
+        ckpt._ckptr.save(ckpt._path("init"),
+                         {"params": state.params,
+                          "batch_stats": state.batch_stats}, force=True)
+
+    state, history = trainer.fit(train_pipe, valid_pipe, checkpointer=ckpt,
+                                 start_epoch=start_epoch, state=state)
     logger.write(f"done; best stop metric {trainer.early.best_score}")
     logger.dump_history(history)
     return history

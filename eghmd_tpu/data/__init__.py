@@ -8,7 +8,7 @@ from .hostops import (
 from .sample import assemble_sample, Sample, SAMPLE_KEYS
 from .synthetic import SyntheticEyeDataset, render_eye
 from .h5dataset import H5EyeDataset, write_h5_archive
-from .pipeline import DataPipeline, collate
+from .pipeline import DataPipeline, collate, Subset
 
 __all__ = [
     "one_hot_to_dist",
@@ -25,4 +25,5 @@ __all__ = [
     "write_h5_archive",
     "DataPipeline",
     "collate",
+    "Subset",
 ]

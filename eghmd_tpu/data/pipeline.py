@@ -29,6 +29,27 @@ def collate(samples) -> dict:
     return out
 
 
+class Subset:
+    """First-``n`` view over any sample dataset.
+
+    Backs the ``--overfit N`` smoke check (reference train.py:208-212
+    truncates the image lists in place); works uniformly for synthetic and
+    H5 datasets.
+    """
+
+    def __init__(self, dataset, n: int):
+        self.dataset = dataset
+        self.n = max(1, min(int(n), len(dataset)))
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        if not 0 <= i < self.n:
+            raise IndexError(i)
+        return self.dataset[i]
+
+
 class DataPipeline:
     """Iterable over device-resident batches with background prefetch.
 
@@ -57,6 +78,11 @@ class DataPipeline:
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def set_epoch(self, epoch: int):
+        """Pin the shuffle epoch so a resumed run reproduces the exact batch
+        order of the uninterrupted run (the trainer calls this per epoch)."""
+        self._epoch = int(epoch)
 
     def _index_order(self):
         n = len(self.dataset)

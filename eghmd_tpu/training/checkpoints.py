@@ -84,3 +84,42 @@ class CheckpointManager:
             opt_state=restored["opt_state"],
             step=restored["step"],
         )
+
+    def restore_weights_only(self, state, tag=None):
+        """Pretrained-bootstrap restore: params + batch_stats, fresh optimizer.
+
+        Counterpart of the reference's pretrained bootstrap path
+        (train.py:162-172 via partial_weight_loading) — model weights come
+        from the checkpoint, training state starts from scratch.
+        """
+        restored = self.restore(state, tag=tag)
+        return state._replace(params=restored.params,
+                              batch_stats=restored.batch_stats)
+
+
+def bootstrap_state(state, loadfile: str, setting=None):
+    """Initialize model weights from ``loadfile``: an orbax checkpoint
+    directory (this framework) or a torch ``.pkl``/``.pt`` reference
+    checkpoint (converted via utils.torch_convert). Optimizer state and step
+    are left fresh — reference train.py:162-172 semantics."""
+    import jax.numpy as jnp
+
+    if os.path.isdir(loadfile):
+        # either a manager directory (contains best/epoch_N) or a single
+        # orbax checkpoint path
+        entries = set(os.listdir(loadfile))
+        if "best" in entries or any(e.startswith("epoch_") for e in entries):
+            mgr = CheckpointManager(loadfile)
+            return mgr.restore_weights_only(state)
+        import orbax.checkpoint as ocp
+
+        restored = ocp.PyTreeCheckpointer().restore(
+            os.path.abspath(loadfile), item=_to_saveable(state))
+        return state._replace(params=restored["params"],
+                              batch_stats=restored["batch_stats"])
+    from ..utils.torch_convert import load_reference_esfnet_checkpoint
+
+    variables = load_reference_esfnet_checkpoint(loadfile, setting)
+    params = jax.tree.map(jnp.asarray, variables["params"])
+    bs = jax.tree.map(jnp.asarray, variables.get("batch_stats", state.batch_stats))
+    return state._replace(params=params, batch_stats=bs)

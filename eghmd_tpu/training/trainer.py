@@ -238,6 +238,8 @@ class Trainer:
 
     def run_epoch(self, state, pipeline, epoch):
         alpha = alpha_schedule(epoch, self.config.epochs)
+        if hasattr(pipeline, "set_epoch"):
+            pipeline.set_epoch(epoch)  # resume-reproducible shuffle order
         agg = []
         t0 = time.time()
         nb = 0
@@ -245,7 +247,9 @@ class Trainer:
             state, metrics = self.train_step(state, batch, alpha)
             agg.append(metrics)
             nb += 1
-            if self.config.test_normal and nb > 50:
+            if self.config.test_normal and nb >= 50:
+                # truncated-run sanity flag: stop after 50 batches
+                # (reference train.py:263)
                 break
         agg = jax.device_get(agg)
         summary = {
@@ -284,9 +288,16 @@ class Trainer:
             valid["pup_ang"], valid["iri_ang"],
         )
 
-    def fit(self, train_pipe, valid_pipe, checkpointer=None, start_epoch=0):
-        """Full training run. Returns (state, history)."""
-        state = self.init_state(next(iter(valid_pipe)))
+    def fit(self, train_pipe, valid_pipe, checkpointer=None, start_epoch=0,
+            state=None):
+        """Full training run. Returns (state, history).
+
+        ``state`` may be a pre-initialized/restored TrainState (resume or
+        pretrained bootstrap — reference train.py:151-178); ``start_epoch``
+        continues the alpha/LR schedules from that epoch.
+        """
+        if state is None:
+            state = self.init_state(next(iter(valid_pipe)))
         history = []
         for epoch in range(start_epoch, self.config.epochs):
             state, train_sum = self.run_epoch(state, train_pipe, epoch)
