@@ -339,3 +339,70 @@ def get_ellipse_info(param, H, cond, xp=jnp):
     norm_param = xp.where(missing, -xp.ones_like(np_c), np_c)
     pts = xp.where(missing[..., None], -xp.ones_like(pts), pts)
     return pts, norm_param
+
+
+def generate_points_equislope(param, xp=jnp):
+    """8 points along the periphery with tangential slopes [1e-6, 1, 1000, -1].
+
+    Mirrors reference helperfunctions.py:166-180 (``generatePoints`` with
+    mode='equiSlope'), bit-for-bit including its convention quirk: the
+    formula treats theta as CLOCKWISE, so the produced points lie on the
+    ellipse with NEGATED angle (verified in tests/test_losses_extra.py) —
+    unlike mode='equiAngle', which is anticlockwise. Kept faithful since
+    downstream reference consumers assume this exact output.
+    param: [..., 5] -> [..., 8, 2].
+    """
+    param = xp.asarray(param)
+    cx, cy, a, b, theta = (param[..., i, None] for i in range(5))
+    alpha = (a * xp.sin(theta)) ** 2 + (b * xp.cos(theta)) ** 2
+    beta = (a * xp.cos(theta)) ** 2 + (b * xp.sin(theta)) ** 2
+    gamma = (a ** 2 - b ** 2) * xp.sin(2 * theta)
+    m = xp.asarray([1e-6, 1.0, 1000.0, -1.0], dtype=param.dtype)
+    k = (m * gamma + 2 * alpha) / (2 * beta * m + gamma)
+    x2 = ((a * b) ** 2) / (alpha + beta * k ** 2 - gamma * k)
+    xs = xp.sqrt(x2)
+    x = xp.stack([xs, -xs], axis=-1).reshape(*xs.shape[:-1], 8)
+    y = -x * xp.stack([k, k], axis=-1).reshape(*k.shape[:-1], 8)
+    return xp.stack([x + cx, y + cy], axis=-1)
+
+
+def generate_points_random(param, n, rng=None, xp=jnp, key=None):
+    """N random points on the ellipse periphery.
+
+    Mirrors reference helperfunctions.py:195-202 (mode='random').
+    numpy path uses ``rng`` (RandomState); jnp path uses ``key``.
+    """
+    param = xp.asarray(param)
+    cx, cy, a, b, theta = (param[..., i, None] for i in range(5))
+    shape = param.shape[:-1] + (n,)
+    if xp is jnp:
+        import jax
+
+        key = key if key is not None else jax.random.PRNGKey(0)
+        t = 2 * jnp.pi * (jax.random.uniform(key, shape) - 0.5)
+    else:
+        rng = rng or __import__("numpy").random.RandomState(0)
+        t = 2 * xp.pi * (rng.rand(*shape) - 0.5)
+    x = a * xp.cos(t)
+    y = b * xp.sin(t)
+    c, s = xp.cos(theta), xp.sin(theta)
+    return xp.stack([c * x - s * y + cx, s * x + c * y + cy], axis=-1)
+
+
+def verify_ellipse(param, pts, xp=jnp):
+    """Mean algebraic residual of points against the ellipse's conic matrix.
+
+    Mirrors reference helperfunctions.py:138-149 (``my_ellipse.verify``):
+    mean over homogeneous points p of p @ C @ p^T (inf for empty input).
+    param: [5]; pts: [N, 2] -> scalar.
+    """
+    pts = xp.asarray(pts)
+    n = pts.shape[0]
+    if n == 0:
+        return xp.asarray(float("inf"))
+    mat = param_to_conic(xp.asarray(param), xp)
+    ph = xp.concatenate([pts, xp.ones_like(pts[..., :1])], axis=-1)  # [N, 3]
+    # broadcasted elementwise form (keeps the geometry path off the MXU,
+    # where reduced default precision would hurt fp32 parity)
+    res = xp.sum(xp.sum(ph[:, None, :] * mat, axis=-1) * ph, axis=-1)
+    return xp.sum(res) / n

@@ -5,7 +5,9 @@ from .point import (
     conf_loss,
     self_consistency_loss,
     ellipse_soft_masks,
+    seg_to_el_loss,
 )
+from .hausdorff import weighted_hausdorff_distance, generalized_mean
 from .total import compute_all_losses, el_pred_from_seg_centers, LossOutputs
 
 __all__ = [
@@ -18,6 +20,9 @@ __all__ = [
     "conf_loss",
     "self_consistency_loss",
     "ellipse_soft_masks",
+    "seg_to_el_loss",
+    "weighted_hausdorff_distance",
+    "generalized_mean",
     "compute_all_losses",
     "el_pred_from_seg_centers",
     "LossOutputs",

@@ -102,3 +102,30 @@ def self_consistency_loss(op, el_pred, mask_valid):
     term_b = jnp.mean(_kl_div_term(logp[..., 0], iri_outside), axis=(1, 2))
     per_sample = term_p + term_b
     return _safe_div(jnp.sum(per_sample * mask_valid), jnp.sum(mask_valid))
+
+
+def _bce(pred, target):
+    """torch F.binary_cross_entropy (mean reduction) semantics: log terms
+    clamped at -100 (so exact 0/1 predictions stay finite)."""
+    logp = jnp.maximum(jnp.log(pred), -100.0)
+    log1mp = jnp.maximum(jnp.log1p(-pred), -100.0)
+    return -jnp.mean(target * logp + (1.0 - target) * log1mp, axis=(-2, -1))
+
+
+def seg_to_el_loss(op_seg, el_param, mask_valid):
+    """Seg<->regressed-ellipse overlap correction loss.
+
+    Reference loss.py:159-185 (``get_seg2elLoss``): per valid sample, BCE
+    between the soft outside-mask of the regressed ellipse and (1 - seg
+    probability) plus BCE between the soft inside-mask and the seg
+    probability; summed over valid samples / #valid (0 if none). The
+    reference's per-sample python loop is one masked vectorized pass here.
+
+    op_seg: [B, H, W] class probability in [0, 1]; el_param: [B, 5]
+    normalized ellipse; mask_valid: [B] float (1 = seg annotation present).
+    """
+    b, h, w = op_seg.shape
+    op_seg = op_seg.astype(jnp.float32)
+    pos, neg = ellipse_soft_masks(el_param.astype(jnp.float32), h, w)
+    per_sample = _bce(pos, 1.0 - op_seg) + _bce(neg, op_seg)
+    return _safe_div(jnp.sum(per_sample * mask_valid), jnp.sum(mask_valid))

@@ -2,6 +2,7 @@ from .esfnet import ESFNet, ESFNetWithDS, DenseEncoder, DenseDecoder, get_sizes
 from .ritnet_v1 import RITnetV1
 from .deepvog import DeepVOG, deepvog_loss
 from .ritnet_concat import RITnetConcat
+from .ritnet_noreg import RITnetNoReg
 from .bdcn import BDCN, VGG16C, MSBlock, make_edge_fn
 
 
@@ -19,11 +20,14 @@ def build_model(name, variant=None, dtype=None):
         return DeepVOG(dtype=dtype)
     if name == "ritnet_concat":
         return RITnetConcat(dtype=dtype)
+    if name == "ritnet_noreg":
+        assert variant is not None, "ritnet_noreg needs a VariantConfig"
+        return RITnetNoReg(setting=variant, dtype=dtype)
     raise ValueError(f"illegal model {name!r}")
 
 
 __all__ = [
     "ESFNet", "ESFNetWithDS", "DenseEncoder", "DenseDecoder", "get_sizes",
-    "RITnetV1", "DeepVOG", "deepvog_loss", "RITnetConcat",
+    "RITnetV1", "DeepVOG", "deepvog_loss", "RITnetConcat", "RITnetNoReg",
     "BDCN", "VGG16C", "MSBlock", "make_edge_fn", "build_model",
 ]
