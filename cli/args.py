@@ -116,16 +116,30 @@ def build_datasets(args, aug_train=True):
 
 
 def build_edge_fn(args, dtype):
-    """Frozen BDCN edge function, or None to use the batch's edge maps."""
+    """Frozen BDCN edge function, or None to use the batch's edge maps.
+
+    ``--bdcn_weights random`` builds a randomly initialized BDCN (the
+    pretrained ``gen_00000016.pt`` blob is not shipped in the reference
+    either, .MISSING_LARGE_BLOBS:2) so the full two-stage pipeline can be
+    exercised end-to-end.
+    """
     if not args.bdcn_weights:
         return None
     import jax
+    import jax.numpy as jnp
 
-    from eghmd_tpu.models.bdcn import make_edge_fn
-    from eghmd_tpu.utils.torch_convert import load_reference_bdcn_checkpoint
+    from eghmd_tpu.models.bdcn import BDCN, make_edge_fn
 
-    variables = jax.tree.map(
-        lambda x: jax.numpy.asarray(x), load_reference_bdcn_checkpoint(args.bdcn_weights)
-    )
-    return make_edge_fn(variables, dtype=dtype,
-                        downscale=getattr(args, "edge_downscale", 1))
+    downscale = getattr(args, "edge_downscale", 1)
+    if args.bdcn_weights == "random":
+        s = max(downscale, 1)
+        h, w = args.image_height // s, args.image_width // s
+        bdcn = BDCN(dtype=dtype)
+        variables = jax.jit(bdcn.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32))
+    else:
+        from eghmd_tpu.utils.torch_convert import load_reference_bdcn_checkpoint
+
+        variables = jax.tree.map(
+            jnp.asarray, load_reference_bdcn_checkpoint(args.bdcn_weights))
+    return make_edge_fn(variables, dtype=dtype, downscale=downscale)

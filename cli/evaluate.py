@@ -53,7 +53,9 @@ def main(argv=None):
         raise SystemExit(f"no videos under {args.path2data}")
     for v in sorted(vids):
         print(f"evaluate {os.path.basename(v)}...")
-        out_dir = os.path.join(os.path.dirname(v), "output")
+        # write next to the video unless the source tree is read-only
+        out_dir = args.visual_dir if args.visual_dir != "iris" else \
+            os.path.join(os.path.dirname(v), "output")
         vp.process_video(v, out_dir, method=args.method)
     print(f"processed {len(vids)} videos")
 

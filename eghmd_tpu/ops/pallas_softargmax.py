@@ -57,23 +57,28 @@ def soft_argmax_2d(op_channel, temperature: float = 4.0):
     if not _HAS_PALLAS:  # pragma: no cover
         return _reference(flat, xloc, yloc, temperature)
 
-    tb = min(8, b)
-    if b % tb != 0:
-        tb = 1
+    # Mosaic requires the second-to-last block dim divisible by 8 (or equal
+    # to the array dim): pad the batch up to a multiple of the tile. The
+    # padded rows are all-zero logits — constant softmax, discarded below.
+    tb = 8
+    pad = (-b) % tb
+    if pad:
+        flat = jnp.pad(flat, ((0, pad), (0, 0)))
     kernel = functools.partial(_kernel, temperature=temperature)
     interpret = jax.devices()[0].platform != "tpu"
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(b // tb,),
+        grid=((b + pad) // tb,),
         in_specs=[
             pl.BlockSpec((tb, hw), lambda i: (i, 0)),
             pl.BlockSpec((1, hw), lambda i: (0, 0)),
             pl.BlockSpec((1, hw), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((tb, 2), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, 2), op_channel.dtype),
+        out_shape=jax.ShapeDtypeStruct((b + pad, 2), op_channel.dtype),
         interpret=interpret,
     )(flat, xloc, yloc)
+    return out[:b]
 
 
 def _reference(flat, xloc, yloc, temperature):

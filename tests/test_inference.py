@@ -12,7 +12,7 @@ from eghmd_tpu.config import VARIANT_PRESETS
 from eghmd_tpu.data import SyntheticEyeDataset, DataPipeline
 from eghmd_tpu.data.synthetic import render_eye
 from eghmd_tpu.geometry import norm_mat, transform_ellipse
-from eghmd_tpu.inference import Evaluator, preprocess_frames, split_dual_eye
+from eghmd_tpu.inference import Evaluator, VideoPipeline, preprocess_frames, split_dual_eye
 from eghmd_tpu.metrics import rasterize_ellipse, ellipse_mask_iou
 from eghmd_tpu.models import ESFNet
 from eghmd_tpu.ops import refine_ellipse_batch
@@ -145,3 +145,32 @@ class TestVideo:
         assert os.path.exists(os.path.join(out_dir, "dual_result_test.mp4"))
         assert os.path.exists(os.path.join(out_dir, "dual_ellipses_test.npy"))
         assert os.path.exists(os.path.join(out_dir, "dual_app_centers.pkl"))
+
+
+@pytest.mark.slow
+def test_real_demo_video_e2e(tmp_path):
+    """The reference's shipped demo video (evaluate.py parity config,
+    BASELINE.md) must run through the full pipeline with finite outputs."""
+    src = "/root/reference/videos/example1.avi"
+    if not os.path.exists(src):
+        pytest.skip("demo video not present in this image")
+    import shutil
+
+    vid = str(tmp_path / "example1.avi")
+    shutil.copy(src, vid)
+    model = ESFNet(setting=VARIANT_PRESETS["baseline_edge"])
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 240, 320, 1), jnp.float32)
+    variables = jax.jit(lambda r, a, b: model.init(r, a, b, train=False))(rng, x, x)
+    vp = VideoPipeline(model, variables, edge_fn=None, batch_frames=8,
+                       refine=False)
+    log = vp.process_video(vid, str(tmp_path / "out"), method="test",
+                           max_frames=16, write_videos=True)
+    assert len(log) == 16
+    for eyes in log.values():
+        assert len(eyes) == 2  # dual-eye split at x=320
+        for pe in eyes:
+            assert np.all(np.isfinite(pe["iris"]))
+            assert np.all(np.isfinite(pe["pupil"]))
+    assert os.path.exists(tmp_path / "out" / "example1_result_test.mp4")
+    assert os.path.exists(tmp_path / "out" / "example1_app_centers.pkl")
