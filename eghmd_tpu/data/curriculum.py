@@ -89,35 +89,46 @@ def rm_dataset(all_ds, rm):
     return _select(all_ds, mask)
 
 
-def generate_strat_indices(all_ds, bins=5, border=0.1, min_bin=5):
+def rm_entries(all_ds, drop_mask):
+    """Drop rows by boolean mask (reference CurriculumLib.py:276-283)."""
+    return {k: v[~drop_mask] for k, v in all_ds.items()}
+
+
+def generate_strat_indices(all_ds, bins=5, min_bin=5):
     """Stratification bins from pupil-center position x archive.
 
-    Reference CurriculumLib.py:285-325: 2-D histogram (bins x bins) of the
-    relative pupil centers per archive; entries in the border 10% or in bins
-    with <= min_bin members are dropped (index -1); each (archive, spatial
-    bin) pair becomes one stratum.
+    Reference CurriculumLib.py:285-325 semantics, step for step:
+      1. drop entries whose pupil center lies in the border 10% of either
+         axis (entries with NEGATIVE / missing pupil centers are kept);
+      2. 2-D histogram of the remaining relative pupil centers with
+         DATA-DEPENDENT edges (np.histogramdd, 5 bins per axis);
+      3. right-inclusive digitize into those edges (missing pupils land in
+         bin 0);
+      4. stratum id = ravel_multi_index((binx, biny, archive)), min-shifted;
+      5. iteratively drop strata with <= min_bin members.
+
+    Returns (strat_idx, pruned_all_ds).
     """
     pupil = np.asarray(all_ds["pupil_loc"], np.float64)
-    archive = np.asarray(all_ds["archive"])
-    arch_names, arch_id = np.unique(archive, return_inverse=True)
+    o_bounds = np.sum((pupil < 0.10) | (pupil > 0.90), axis=1).astype(bool)
+    n_exist = np.sum(pupil < 0, axis=1).astype(bool)
+    all_ds = rm_entries(all_ds, o_bounds & ~n_exist)
 
-    edges = np.linspace(border, 1.0 - border, bins + 1)
-    xb = np.digitize(pupil[:, 0], edges) - 1
-    yb = np.digitize(pupil[:, 1], edges) - 1
-    in_range = (xb >= 0) & (xb < bins) & (yb >= 0) & (yb < bins)
-    has_pupil = ~np.all(pupil == -1, axis=1)
-    spatial = np.where(in_range, yb * bins + xb, -1)
-    # entries without pupil annotation get their own per-archive stratum
-    strat = np.where(
-        has_pupil & (spatial >= 0),
-        arch_id * (bins * bins + 1) + spatial,
-        np.where(~has_pupil, arch_id * (bins * bins + 1) + bins * bins, -1),
-    )
-    # drop tiny bins
-    vals, counts = np.unique(strat[strat >= 0], return_counts=True)
-    small = set(vals[counts <= min_bin].tolist())
-    strat = np.where(np.isin(strat, list(small)), -1, strat)
-    return strat, arch_names, arch_id
+    _, (x_edges, y_edges) = np.histogramdd(
+        np.asarray(all_ds["pupil_loc"], np.float64), bins=bins)
+    arch_id = np.unique(all_ds["archive"], return_inverse=True)[1]
+    binx = np.digitize(all_ds["pupil_loc"][:, 0], x_edges, right=True)
+    biny = np.digitize(all_ds["pupil_loc"][:, 1], y_edges, right=True)
+    indx = np.ravel_multi_index(
+        (binx, biny, arch_id), (bins + 1, bins + 1, int(np.max(arch_id)) + 1))
+    indx = indx - np.min(indx)
+
+    vals, counts = np.unique(indx, return_counts=True)
+    for rm_ind in vals[counts <= min_bin]:
+        ent = indx == rm_ind
+        indx = indx[~ent]
+        all_ds = rm_entries(all_ds, ent)
+    return indx, all_ds
 
 
 @dataclass
@@ -131,65 +142,60 @@ class DataSplit:
     folds: List[Dict[str, np.ndarray]] = field(default_factory=list)
 
 
-def generate_file_list(all_ds, mode="vanilla", test_frac=0.2, valid_frac=0.1,
-                       n_folds=5, seed=0) -> DataSplit:
+def generate_file_list(all_ds, mode="vanilla", notest=True, seed=0) -> DataSplit:
     """Build stratified train/valid/test lists.
 
-    Reference CurriculumLib.py:327-390 (``generate_fileList``): 'vanilla'
-    makes one stratified train/valid/test split, 'foldK' stratified K folds,
-    'none' puts everything in test.
+    Reference CurriculumLib.py:327-390 (``generate_fileList``) semantics via
+    the same sklearn machinery:
+      * 'vanilla' (or 'vanilla<P>' with a train percentage): optional
+        stratified train/test split (skipped when ``notest``), then a
+        stratified 80/20 train/valid split;
+      * 'fold<K>': stratified 80/20 train/test split, then StratifiedKFold
+        over the train portion for per-fold train/valid;
+      * 'none': everything in train, valid AND test.
+    A ``seed`` is threaded through sklearn's random_state (the reference
+    leaves it unseeded) so splits are reproducible.
     """
-    strat, arch_names, arch_id = generate_strat_indices(all_ds)
+    import re
+
+    from sklearn.model_selection import StratifiedKFold, train_test_split
+
+    indx, all_ds = generate_strat_indices(all_ds)
+    arch_names = np.unique(all_ds["archive"])
+    arch_id = np.unique(all_ds["archive"], return_inverse=True)[1]
     im_num = np.asarray(all_ds["im_num"], np.int64)
-    entries = np.stack([im_num, arch_id], axis=1)
-    valid_mask = strat >= 0
-    entries_v = entries[valid_mask]
-    strat_v = strat[valid_mask]
+    feats = np.stack([im_num, arch_id, indx], axis=1)
+    valid_perc = 0.20
 
     split = DataSplit(arch=arch_names)
-    rng = np.random.RandomState(seed)
 
-    if mode == "none":
-        split.folds.append({"train_idx": entries[:0], "valid_idx": entries[:0],
-                            "test_idx": entries})
-        return split
-
-    def strat_split(idx, strata, frac):
-        """Stratified holdout: per stratum, hold out round(frac * n)."""
-        hold, keep = [], []
-        for s in np.unique(strata):
-            members = idx[strata == s]
-            members = members[rng.permutation(len(members))]
-            k = int(round(frac * len(members)))
-            hold.append(members[:k])
-            keep.append(members[k:])
-        return np.concatenate(keep), np.concatenate(hold)
-
-    base = np.arange(len(entries_v))
-    if mode == "vanilla":
-        trainval, test = strat_split(base, strat_v, test_frac)
-        train, valid = strat_split(trainval, strat_v[trainval], valid_frac / (1 - test_frac))
-        split.folds.append({
-            "train_idx": entries_v[train],
-            "valid_idx": entries_v[valid],
-            "test_idx": entries_v[test],
-        })
-    elif mode == "foldK":
-        order = rng.permutation(len(base))
-        fold_of = np.zeros(len(base), np.int64)
-        for s in np.unique(strat_v):
-            members = np.where(strat_v == s)[0]
-            members = members[rng.permutation(len(members))]
-            fold_of[members] = np.arange(len(members)) % n_folds
-        for k in range(n_folds):
-            test = base[fold_of == k]
-            trainval = base[fold_of != k]
-            train, valid = strat_split(trainval, strat_v[trainval], valid_frac)
-            split.folds.append({
-                "train_idx": entries_v[train],
-                "valid_idx": entries_v[valid],
-                "test_idx": entries_v[test],
-            })
+    if "vanilla" in mode:
+        params = re.findall(r"\d+", mode)
+        train_perc = float(params[0]) / 100 if len(params) == 1 else 1 - valid_perc
+        if not notest:
+            train_feats, test_feats = train_test_split(
+                feats, train_size=train_perc, stratify=indx, random_state=seed)
+        else:
+            train_feats, test_feats = feats, feats[:0]
+        train_feats, valid_feats = train_test_split(
+            train_feats, test_size=0.2, stratify=train_feats[:, -1],
+            random_state=seed)
+        split.folds.append({"train_idx": train_feats[:, :2],
+                            "valid_idx": valid_feats[:, :2],
+                            "test_idx": test_feats[:, :2]})
+    elif "fold" in mode:
+        k = int(re.findall(r"\d+", mode)[0])
+        train_feats, test_feats = train_test_split(
+            feats, train_size=1 - valid_perc, stratify=indx, random_state=seed)
+        skf = StratifiedKFold(n_splits=k, shuffle=True, random_state=seed)
+        for train_loc, valid_loc in skf.split(train_feats, train_feats[:, -1]):
+            split.folds.append({"train_idx": train_feats[train_loc, :2],
+                                "valid_idx": train_feats[valid_loc, :2],
+                                "test_idx": test_feats[:, :2]})
+    elif "none" in mode:
+        split.folds.append({"train_idx": feats[:, :2],
+                            "valid_idx": feats[:, :2],
+                            "test_idx": feats[:, :2]})
     else:
         raise ValueError(f"unknown split mode {mode!r}")
     return split
