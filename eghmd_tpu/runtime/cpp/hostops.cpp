@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -50,21 +51,52 @@ void dt1d(const float* f, float* d, int n, int* v, float* z) {
   }
 }
 
-// 2-D exact squared EDT of a binary seed mask (distance to nearest seed).
-// Seedless pixels use a finite sentinel larger than any reachable squared
-// distance: true infinities make the envelope construction compute inf-inf
-// = NaN and corrupt the hull.
-void edt2d_sq(const uint8_t* seeds, float* out, int h, int w,
-              std::vector<float>& tmp, std::vector<float>& f,
-              std::vector<float>& d, std::vector<int>& v,
-              std::vector<float>& z) {
-  const float big = float(h) * h + float(w) * w + 1.0f;
-  // column pass
-  for (int x = 0; x < w; ++x) {
-    for (int y = 0; y < h; ++y) f[y] = seeds[y * w + x] ? 0.0f : big;
-    dt1d(f.data(), d.data(), h, v.data(), z.data());
-    for (int y = 0; y < h; ++y) tmp[y * w + x] = d[y];
+// 1-D squared distance of every index to the nearest set bit of s, via two
+// linear sweeps (the first EDT pass is always over a BINARY mask, where the
+// full parabola envelope is overkill).
+inline void dist1d_binary_sq(const uint8_t* s, float* d2, int n) {
+  const int big = 2 * n + 1;
+  int last = -big;
+  for (int i = 0; i < n; ++i) {
+    if (s[i]) last = i;
+    int di = i - last;
+    d2[i] = float(di < big ? di : big);
   }
+  last = 2 * big;
+  for (int i = n - 1; i >= 0; --i) {
+    if (s[i]) last = i;
+    float di = float(last - i);
+    if (di < d2[i]) d2[i] = di;
+    d2[i] *= d2[i];
+  }
+}
+
+// 2-D exact squared EDT of a binary seed mask (distance to nearest seed).
+// Column pass runs on a transposed copy (contiguous scanlines + linear
+// two-sweep binary distance); row pass is the standard lower-envelope
+// transform. Seedless scanlines produce a finite sentinel larger than any
+// reachable squared distance: true infinities make the envelope construction
+// compute inf-inf = NaN and corrupt the hull.
+void edt2d_sq(const uint8_t* seeds, float* out, int h, int w,
+              std::vector<uint8_t>& tseeds, std::vector<float>& ttmp,
+              std::vector<float>& tmp, std::vector<int>& v,
+              std::vector<float>& z) {
+  constexpr int kBlk = 32;
+  // blocked transpose of the seed mask: tseeds[x*h + y] = seeds[y*w + x]
+  for (int y0 = 0; y0 < h; y0 += kBlk)
+    for (int x0 = 0; x0 < w; x0 += kBlk)
+      for (int y = y0; y < std::min(y0 + kBlk, h); ++y)
+        for (int x = x0; x < std::min(x0 + kBlk, w); ++x)
+          tseeds[x * h + y] = seeds[y * w + x];
+  // column pass (contiguous in the transposed layout)
+  for (int x = 0; x < w; ++x)
+    dist1d_binary_sq(tseeds.data() + x * h, ttmp.data() + x * h, h);
+  // transpose back
+  for (int x0 = 0; x0 < w; x0 += kBlk)
+    for (int y0 = 0; y0 < h; y0 += kBlk)
+      for (int x = x0; x < std::min(x0 + kBlk, w); ++x)
+        for (int y = y0; y < std::min(y0 + kBlk, h); ++y)
+          tmp[y * w + x] = ttmp[x * h + y];
   // row pass
   for (int y = 0; y < h; ++y) {
     dt1d(tmp.data() + y * w, out + y * w, w, v.data(), z.data());
@@ -79,10 +111,10 @@ extern "C" {
 // NONZERO pixel of `seeds` (note: scipy's edt measures distance to the
 // nearest ZERO of its input; callers invert accordingly).
 void edt(const uint8_t* seeds, float* out, int h, int w) {
-  std::vector<float> tmp(h * w), f(std::max(h, w)), d(std::max(h, w)),
-      z(std::max(h, w) + 1);
+  std::vector<uint8_t> tseeds(h * w);
+  std::vector<float> ttmp(h * w), tmp(h * w), z(std::max(h, w) + 1);
   std::vector<int> v(std::max(h, w));
-  edt2d_sq(seeds, out, h, w, tmp, f, d, v, z);
+  edt2d_sq(seeds, out, h, w, tseeds, ttmp, tmp, v, z);
   for (int i = 0; i < h * w; ++i) out[i] = std::sqrt(out[i]);
 }
 
@@ -95,13 +127,16 @@ void signed_distance_maps(const int32_t* label, float* out, int h, int w,
                           int c) {
   const int n = h * w;
   const float mx = std::sqrt(float(h - 1) * (h - 1) + float(w - 1) * (w - 1));
-  std::vector<uint8_t> pos(n), neg(n);
-  std::vector<float> dpos(n), dneg(n);
-  std::vector<float> tmp(n), f(std::max(h, w)), d(std::max(h, w)),
-      z(std::max(h, w) + 1);
-  std::vector<int> v(std::max(h, w));
 
-  for (int cls = 0; cls < c; ++cls) {
+  // Each class needs two independent EDTs (to the class region and to its
+  // complement) — all 2*c transforms are independent, so classes run on
+  // their own threads with private scratch (the per-class work is the
+  // latency bottleneck of the input pipeline's per-sample hot loop).
+  auto run_class = [&](int cls) {
+    std::vector<uint8_t> pos(n), neg(n), tseeds(n);
+    std::vector<float> dpos(n), dneg(n);
+    std::vector<float> ttmp(n), tmp(n), z(std::max(h, w) + 1);
+    std::vector<int> v(std::max(h, w));
     bool any = false;
     for (int i = 0; i < n; ++i) {
       uint8_t p = (label[i] == cls);
@@ -111,12 +146,12 @@ void signed_distance_maps(const int32_t* label, float* out, int h, int w,
     }
     if (!any) {
       for (int i = 0; i < n; ++i) out[i * c + cls] = 0.0f;
-      continue;
+      return;
     }
     // distance of negmask pixels to the class region (seeds = pos)
-    edt2d_sq(pos.data(), dneg.data(), h, w, tmp, f, d, v, z);
+    edt2d_sq(pos.data(), dneg.data(), h, w, tseeds, ttmp, tmp, v, z);
     // distance of class pixels to the complement (seeds = neg)
-    edt2d_sq(neg.data(), dpos.data(), h, w, tmp, f, d, v, z);
+    edt2d_sq(neg.data(), dpos.data(), h, w, tseeds, ttmp, tmp, v, z);
     for (int i = 0; i < n; ++i) {
       float r;
       if (pos[i]) {
@@ -126,7 +161,13 @@ void signed_distance_maps(const int32_t* label, float* out, int h, int w,
       }
       out[i * c + cls] = r / mx;
     }
-  }
+  };
+
+  std::vector<std::thread> workers;
+  workers.reserve(c > 0 ? c - 1 : 0);
+  for (int cls = 1; cls < c; ++cls) workers.emplace_back(run_class, cls);
+  if (c > 0) run_class(0);
+  for (auto& t : workers) t.join();
 }
 
 // Boundary-weight map (reference CurriculumLib.py:128-129 semantics with the

@@ -19,7 +19,7 @@ _lock = threading.Lock()
 
 
 def _build():
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", "-pthread",
            _SRC, "-o", _SO]
     subprocess.run(cmd, check=True, capture_output=True)
 
