@@ -32,13 +32,14 @@ def main(argv=None):
 
     variant = resolve_variant(args.setting)
     model = build_model(args.model, variant, cfg.dtype)
-    train_ds, valid_ds, _ = build_datasets(args)
+    train_ds, valid_ds, test_ds = build_datasets(args)
 
     log_dir = os.path.join(cfg.log_dir, args.model, args.expname)
     logger = ExperimentLogger(log_dir)
     ds_head = LinStack(64, 2, num_layers=2, act=False)
     trainer = Trainer(cfg, model, ds_head=ds_head,
-                      edge_fn=build_edge_fn(args, cfg.dtype), log_fn=logger.write)
+                      edge_fn=build_edge_fn(args, cfg.dtype),
+                      log_fn=logger.write, logger=logger)
 
     if args.overfit > 0:
         # the reference's overfit-N smoke check (train.py:208-212)
@@ -50,6 +51,11 @@ def main(argv=None):
                               shuffle=True, num_workers=cfg.workers)
     valid_pipe = DataPipeline(valid_ds, cfg.batchsize, sharding=sharding,
                               shuffle=False, num_workers=cfg.workers)
+    # cross-dataset test split, evaluated whenever the stop metric improves
+    # (reference train.py:470-481)
+    test_pipe = DataPipeline(test_ds, cfg.batchsize, sharding=sharding,
+                             shuffle=False, num_workers=cfg.workers) \
+        if len(test_ds) >= cfg.batchsize else None
 
     ckpt = CheckpointManager(os.path.join(log_dir, "checkpoints"))
     state = trainer.init_state(next(iter(valid_pipe)))
@@ -75,7 +81,8 @@ def main(argv=None):
                           "batch_stats": state.batch_stats}, force=True)
 
     state, history = trainer.fit(train_pipe, valid_pipe, checkpointer=ckpt,
-                                 start_epoch=start_epoch, state=state)
+                                 start_epoch=start_epoch, state=state,
+                                 test_pipe=test_pipe)
     logger.write(f"done; best stop metric {trainer.early.best_score}")
     logger.dump_history(history)
     return history

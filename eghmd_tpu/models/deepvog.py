@@ -16,17 +16,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .blocks import conv_precision
+
 from ..geometry.points import norm_pts
 from ..losses.point import seg_to_pt_loss
 
 Dtype = Any
 
-
-def conv_precision(dtype):
-    """'highest' for fp32 (bit-exact parity; jax's default silently degrades
-    fp32 convs to bf16 passes) but backend-default for bf16 compute, where
-    'highest' would force slow fp32 accumulation paths on the MXU."""
-    return "highest" if dtype == jnp.float32 else None
 
 
 

@@ -175,6 +175,7 @@ class Trainer:
     ds_head: Any = None
     edge_fn: Optional[Callable] = None
     log_fn: Optional[Callable] = print
+    logger: Any = None  # optional ExperimentLogger for TB scalars/grids/embeddings
 
     def __post_init__(self):
         cfg = self.config
@@ -289,26 +290,42 @@ class Trainer:
         )
 
     def fit(self, train_pipe, valid_pipe, checkpointer=None, start_epoch=0,
-            state=None):
+            state=None, test_pipe=None, tb_every: int = 5):
         """Full training run. Returns (state, history).
 
         ``state`` may be a pre-initialized/restored TrainState (resume or
         pretrained bootstrap — reference train.py:151-178); ``start_epoch``
-        continues the alpha/LR schedules from that epoch.
+        continues the alpha/LR schedules from that epoch. ``test_pipe``
+        enables the reference's per-epoch cross-dataset protocol
+        (train.py:470-481): the held-out split is evaluated whenever the
+        stop metric improves. With a ``logger``, TB scalars are written
+        every epoch and prediction grids + latent embeddings every
+        ``tb_every`` epochs (train.py:433-439).
         """
         if state is None:
             state = self.init_state(next(iter(valid_pipe)))
         history = []
         for epoch in range(start_epoch, self.config.epochs):
             state, train_sum = self.run_epoch(state, train_pipe, epoch)
-            valid_sum = self.evaluate(state, valid_pipe,
-                                      alpha=alpha_schedule(epoch, self.config.epochs))
+            alpha = alpha_schedule(epoch, self.config.epochs)
+            valid_sum = self.evaluate(state, valid_pipe, alpha=alpha)
             metric = self.stop_metric(valid_sum)
             new_lr = self.plateau.step(metric)
             state = self.set_lr(state, new_lr)
             improved = self.early.step(metric)
-            history.append({"epoch": epoch, "train": train_sum, "valid": valid_sum,
-                            "stop_metric": metric, "lr": new_lr})
+            record = {"epoch": epoch, "train": train_sum, "valid": valid_sum,
+                      "stop_metric": metric, "lr": new_lr}
+            if test_pipe is not None and improved:
+                test_sum = self.evaluate(state, test_pipe, alpha=0.0)
+                record["test"] = test_sum
+                if self.log_fn:
+                    self.log_fn(f"epoch {epoch}: cross-dataset test mIoU "
+                                f"{test_sum['mean_iou']:.4f}")
+            history.append(record)
+            if self.logger is not None:
+                self.logger.scalars(epoch, train_sum, valid_sum)
+                if epoch % tb_every == 0:
+                    self._tb_snapshots(state, valid_pipe, epoch)
             if self.log_fn:
                 self.log_fn(
                     f"epoch {epoch}: loss {train_sum['loss']:.4f} "
@@ -321,3 +338,15 @@ class Trainer:
                     self.log_fn(f"early stopping at epoch {epoch}")
                 break
         return state, history
+
+    def _tb_snapshots(self, state, pipe, epoch):
+        """Prediction grid + latent embedding from one validation batch."""
+        batch = next(iter(pipe))
+        _, (op, _, _, latent) = self.eval_step(state.params, state.batch_stats,
+                                               batch, 0.0)
+        images = np.asarray(batch["image"])[..., 0]
+        preds = np.asarray(jnp.argmax(op, axis=-1))
+        targets = np.asarray(batch["target"])
+        self.logger.prediction_grid(epoch, images, preds, targets)
+        self.logger.embedding(epoch, np.asarray(latent),
+                              labels=np.asarray(batch["im_info"][:, 2]).tolist())

@@ -49,6 +49,41 @@ class ExperimentLogger:
         self.writer.add_scalar("loss/train", train.get("loss", np.nan), epoch)
         self.writer.add_scalar("loss/valid", valid.get("loss", np.nan), epoch)
 
+    def prediction_grid(self, epoch: int, images: np.ndarray,
+                        preds: np.ndarray, targets: np.ndarray, max_n: int = 8):
+        """TB grid of [image | prediction | ground truth] per sample.
+
+        Counterpart of the reference's per-5-epoch prediction image
+        (train.py:433, via torchvision make_grid of the disp figure).
+        images: [B, H, W] gray float; preds/targets: [B, H, W] int.
+        """
+        if self.writer is None:
+            return
+        n = min(max_n, images.shape[0])
+        palette = np.array([[0, 0, 0], [0, 255, 0], [255, 0, 0]], np.uint8)
+        rows = []
+        for i in range(n):
+            img = images[i]
+            img = (255 * (img - img.min()) / max(img.max() - img.min(), 1e-6))
+            img3 = np.stack([img.astype(np.uint8)] * 3, axis=-1)
+            pr = palette[np.clip(preds[i].astype(np.int64), 0, 2)]
+            gt = palette[np.clip(targets[i].astype(np.int64), 0, 2)]
+            rows.append(np.concatenate([img3, pr, gt], axis=1))
+        grid = np.concatenate(rows, axis=0)
+        self.writer.add_image("predictions", grid, epoch, dataformats="HWC")
+
+    def embedding(self, epoch: int, latents: np.ndarray, labels=None):
+        """TB latent-space embedding every N epochs (reference train.py:435-439)."""
+        if self.writer is None:
+            return
+        try:
+            self.writer.add_embedding(
+                np.asarray(latents),
+                metadata=list(labels) if labels is not None else None,
+                global_step=epoch, tag="latent")
+        except Exception:
+            pass  # tensorboardX embedding needs optional deps
+
     def dump_history(self, history):
         def clean(o):
             if isinstance(o, dict):
