@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 
 def build_pipeline(dtype=jnp.bfloat16, batch_frames=32, refine=False,
-                   edge_downscale=1):
+                   edge_downscale=1, seg_downscale=1):
     from eghmd_tpu.config import VARIANT_PRESETS
     from eghmd_tpu.models import ESFNet
     from eghmd_tpu.models.bdcn import BDCN, make_edge_fn
@@ -36,7 +36,8 @@ def build_pipeline(dtype=jnp.bfloat16, batch_frames=32, refine=False,
     from eghmd_tpu.ops import refine_ellipse_batch, seg_centers
 
     rng = jax.random.PRNGKey(0)
-    model = ESFNet(setting=VARIANT_PRESETS["baseline_edge"], dtype=dtype)
+    model = ESFNet(setting=VARIANT_PRESETS["baseline_edge"], dtype=dtype,
+                   seg_downscale=seg_downscale)
     x0 = jnp.zeros((1, 240, 320, 1), jnp.float32)
     # jit the inits: eager flax init dispatches each conv separately (minutes
     # of per-op compiles on TPU); one traced init compiles in seconds
@@ -99,10 +100,11 @@ def cost_analysis(jitted, variables, bdcn_vars, frames):
         return {}
 
 
-def run_one(dtype, batch_frames, refine, edge_downscale, iters, analyze=False):
+def run_one(dtype, batch_frames, refine, edge_downscale, seg_downscale,
+            iters, analyze=False):
     jitted, variables, bdcn_vars, frames = build_pipeline(
         dtype=dtype, batch_frames=batch_frames, refine=refine,
-        edge_downscale=edge_downscale,
+        edge_downscale=edge_downscale, seg_downscale=seg_downscale,
     )
     fps = measure(jitted, variables, bdcn_vars, frames, iters=iters)
     extras = cost_analysis(jitted, variables, bdcn_vars, frames) if analyze else {}
@@ -121,6 +123,9 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--edge-downscale", type=int, default=2,
                    help="BDCN fast-edge factor (1 = full-resolution edge net)")
+    p.add_argument("--seg-downscale", type=int, default=2,
+                   help="fast-seg factor: decode the seg map at 1/N res "
+                        "(1 = full-resolution decoder)")
     args = p.parse_args()
 
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
@@ -133,7 +138,7 @@ def main():
     for bs in candidates:
         try:
             fps, _ = run_one(dtype, bs, args.refine, args.edge_downscale,
-                             iters=max(10, args.iters // 3))
+                             args.seg_downscale, iters=max(10, args.iters // 3))
         except Exception as e:
             print(f"batch {bs}: failed ({type(e).__name__}); stopping sweep",
                   file=sys.stderr)
@@ -143,7 +148,7 @@ def main():
             best_fps, best_bs = fps, bs
 
     fps, extras = run_one(dtype, best_bs, args.refine, args.edge_downscale,
-                          iters=args.iters, analyze=True)
+                          args.seg_downscale, iters=args.iters, analyze=True)
     fps = max(fps, best_fps)
 
     if extras.get("gflops_per_frame"):
@@ -168,6 +173,7 @@ def main():
         "vs_baseline": round(fps / 5000.0, 4),
         "batch_frames": best_bs,
         "edge_downscale": args.edge_downscale,
+        "seg_downscale": args.seg_downscale,
         **extras,
     }))
 

@@ -116,18 +116,22 @@ class DenseDownBlock(nn.Module):
 class DenseUpBlock(nn.Module):
     """DenseNet2D up block: bilinear 2x + skip concat + two dense conv pairs.
 
-    Reference models/RITnet_v2.py:69-88.
+    Reference models/RITnet_v2.py:69-88. ``do_upsample=False`` runs the
+    block at the incoming resolution (the caller has downsampled the skip
+    instead) — the fast-seg serving mode; parameters are unchanged.
     """
 
     out_c: int
     dtype: Dtype = jnp.float32
+    do_upsample: bool = True
 
     @nn.compact
     def __call__(self, skip, x):
         conv = lambda c, k, name: nn.Conv(
             c, (k, k), padding=(k - 1) // 2, dtype=self.dtype, precision=conv_precision(self.dtype), name=name
         )
-        x = upsample2x_bilinear(x)
+        if self.do_upsample:
+            x = upsample2x_bilinear(x)
         x = jnp.concatenate([x, skip], axis=-1)
         x1 = leaky_relu(conv(self.out_c, 3, "conv12")(conv(self.out_c, 1, "conv11")(x)))
         x21 = jnp.concatenate([x, x1], axis=-1)

@@ -104,6 +104,7 @@ class DenseDecoder(nn.Module):
     out_c: int = 3
     add_edge: bool = False
     dtype: Dtype = jnp.float32
+    seg_downscale: int = 1  # fast-seg: run the last stage(s) below full res
 
     @nn.compact
     def __call__(self, skip4, skip3, skip2, skip1, x, train: bool = False):
@@ -111,8 +112,23 @@ class DenseDecoder(nn.Module):
         op = [180, 100, 62, 32] if self.add_edge else sizes["dec"]["op"]
         x = DenseUpBlock(op[0], dtype=self.dtype, name="up_block4")(skip4, x)
         x = DenseUpBlock(op[1], dtype=self.dtype, name="up_block3")(skip3, x)
-        x = DenseUpBlock(op[2], dtype=self.dtype, name="up_block2")(skip2, x)
-        x = DenseUpBlock(op[3], dtype=self.dtype, name="up_block1")(skip1, x)
+        if self.seg_downscale >= 4:
+            # both final stages at reduced resolution: skips are pooled down
+            # instead of the features being upsampled
+            skip2 = nn.avg_pool(skip2, (2, 2), strides=(2, 2))
+            skip1 = nn.avg_pool(skip1, (4, 4), strides=(4, 4))
+            x = DenseUpBlock(op[2], dtype=self.dtype, do_upsample=False,
+                             name="up_block2")(skip2, x)
+            x = DenseUpBlock(op[3], dtype=self.dtype, do_upsample=False,
+                             name="up_block1")(skip1, x)
+        elif self.seg_downscale == 2:
+            skip1 = nn.avg_pool(skip1, (2, 2), strides=(2, 2))
+            x = DenseUpBlock(op[2], dtype=self.dtype, name="up_block2")(skip2, x)
+            x = DenseUpBlock(op[3], dtype=self.dtype, do_upsample=False,
+                             name="up_block1")(skip1, x)
+        else:
+            x = DenseUpBlock(op[2], dtype=self.dtype, name="up_block2")(skip2, x)
+            x = DenseUpBlock(op[3], dtype=self.dtype, name="up_block1")(skip1, x)
         return ConvBlock(self.chz, self.out_c, dtype=self.dtype, name="final")(x, train)
 
 
@@ -124,6 +140,11 @@ class ESFNet(nn.Module):
     growth: float = 1.2
     num_datasets: int = 2  # for the dsIdentify disentanglement head
     dtype: Dtype = jnp.float32
+    # fast-seg serving mode: decode the seg map at 1/N resolution and
+    # bilinearly upsample the 3-channel logits back to full size. Parameters
+    # are identical to the full model (checkpoint-compatible); accuracy is
+    # gated in tests/test_esfnet_parity.py. Training keeps seg_downscale=1.
+    seg_downscale: int = 1
 
     @nn.compact
     def __call__(self, x, x_edge, train: bool = False):
@@ -147,8 +168,13 @@ class ESFNet(nn.Module):
 
         op = DenseDecoder(
             self.chz, self.growth, out_c=3, add_edge=bool(cfg.add_edge),
-            dtype=self.dtype, name="dec",
+            dtype=self.dtype, seg_downscale=self.seg_downscale, name="dec",
         )(x4, x3, x2, x1, bott, train)
+        if self.seg_downscale > 1:
+            b, hh, ww, cc3 = op.shape
+            op = jax.image.resize(
+                op, (b, hh * self.seg_downscale, ww * self.seg_downscale, cc3),
+                "bilinear")
 
         if cfg.add_seg:
             seg = jax.nn.softmax(op, axis=-1)

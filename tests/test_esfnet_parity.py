@@ -118,3 +118,35 @@ def test_param_count_matches_reference():
     n_torch = sum(int(np.prod(v.shape)) for k, v in sd.items()
                   if "num_batches_tracked" not in k)
     assert n_flax == n_torch
+
+
+class TestFastSegMode:
+    """seg_downscale serving mode: checkpoint-compatible, regression path
+    exact, seg path a gated approximation (accuracy must be re-validated on
+    trained checkpoints; random-weight gates below are structural)."""
+
+    @pytest.mark.parametrize("factor", [2, 4])
+    def test_fast_seg_exactness_and_consistency(self, factor):
+        from eghmd_tpu.ops import seg_centers
+
+        setting = VARIANT_PRESETS["baseline_edge"]
+        full = ESFNet(setting=setting)
+        fast = ESFNet(setting=setting, seg_downscale=factor)
+        rng = jax.random.PRNGKey(0)
+        h, w = 176, 192  # min size for the regression head
+        img = jax.random.uniform(jax.random.PRNGKey(1), (2, h, w, 1))
+        edge = jax.random.uniform(jax.random.PRNGKey(2), (2, h, w, 1))
+        variables = jax.jit(lambda r, a, b: full.init(r, a, b, train=False))(rng, img, edge)
+
+        op_f, el_f, lat_f = full.apply(variables, img, edge, train=False)
+        # SAME variables drive the fast model (param tree is unchanged)
+        op_q, el_q, lat_q = fast.apply(variables, img, edge, train=False)
+
+        assert op_q.shape == op_f.shape
+        # the regression path never touches the decoder: bit-identical
+        np.testing.assert_array_equal(np.asarray(el_q), np.asarray(el_f))
+        np.testing.assert_array_equal(np.asarray(lat_q), np.asarray(lat_f))
+        # seg-derived centers stay close even at random weights
+        c_f = np.asarray(seg_centers(op_f))
+        c_q = np.asarray(seg_centers(op_q))
+        assert np.max(np.abs(c_f - c_q)) < 0.15, np.max(np.abs(c_f - c_q))
