@@ -55,6 +55,8 @@ def parse_args(argv=None, train=True):
     p.add_argument("--mesh", type=int, default=0,
                    help="data-parallel mesh size; 0 -> all devices")
     p.add_argument("--log_dir", type=str, default="logs")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="capture a jax.profiler trace of the first steps")
     args = p.parse_args(argv)
     print("------\nparsed arguments:")
     pprint(vars(args))
@@ -86,6 +88,7 @@ def experiment_from_args(args):
         test_normal=bool(args.test_normal),
         image_size=(args.image_height, args.image_width),
         log_dir=args.log_dir,
+        profile_dir=args.profile_dir,
         mesh_shape=(args.mesh,) if args.mesh else None,
     )
 

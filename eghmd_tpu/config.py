@@ -101,6 +101,7 @@ class ExperimentConfig:
     seed: int = 0
     image_size: Tuple[int, int] = (240, 320)  # (H, W) per eye
     log_dir: str = "logs"
+    profile_dir: str = ""           # non-empty: jax.profiler trace of early steps
     # TPU-specific
     mesh_shape: Optional[Tuple[int, ...]] = None  # None -> all devices on 'data'
     donate_state: bool = True

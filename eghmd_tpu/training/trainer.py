@@ -244,14 +244,25 @@ class Trainer:
         agg = []
         t0 = time.time()
         nb = 0
+        # first-class device tracing (SURVEY §5): capture the first few
+        # steps of the first epoch into a TensorBoard-loadable trace
+        tracing = bool(self.config.profile_dir) and epoch == 0
+        if tracing:
+            jax.profiler.start_trace(self.config.profile_dir)
         for batch in pipeline:
             state, metrics = self.train_step(state, batch, alpha)
             agg.append(metrics)
             nb += 1
+            if tracing and nb >= 3:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                tracing = False
             if self.config.test_normal and nb >= 50:
                 # truncated-run sanity flag: stop after 50 batches
                 # (reference train.py:263)
                 break
+        if tracing:  # short epoch: close the trace cleanly
+            jax.profiler.stop_trace()
         agg = jax.device_get(agg)
         summary = {
             k: float(np.nanmean([np.asarray(m[k]) for m in agg]))
@@ -263,6 +274,9 @@ class Trainer:
         )
         summary["sec"] = time.time() - t0
         summary["steps"] = nb
+        summary["steps_per_sec"] = nb / max(summary["sec"], 1e-9)
+        summary["samples_per_sec"] = (nb * self.config.batchsize
+                                      / max(summary["sec"], 1e-9))
         return state, summary
 
     def evaluate(self, state, pipeline, alpha=0.0, max_batches=None):
