@@ -62,8 +62,13 @@ def main(argv=None):
     out = ev.run(pipe, max_batches=max_batches, log_fn=print)
 
     if args.record_iou:
-        os.makedirs("img", exist_ok=True)
-        path = os.path.join("img", f"{args.curObj}_{args.method}_ious.pkl")
+        if args.iou_filename and args.iou_filename != "test.pkl":
+            path = args.iou_filename
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        else:
+            # reference layout: img/<curObj>_<method>_ious.pkl
+            os.makedirs("img", exist_ok=True)
+            path = os.path.join("img", f"{args.curObj}_{args.method}_ious.pkl")
         with open(path, "wb") as f:
             pickle.dump(out["iou_by_sample"], f)
         print(f"!!!ious result dump to {path} .... shape: {out['iou_by_sample'].shape}")

@@ -1,0 +1,122 @@
+"""End-to-end smoke tests for the CLI drivers on synthetic data.
+
+Covers the drivers the reference ships (test.py, calc_model_score.py,
+image_select.py, process_application_data.py, datasetSelections) through
+their actual main() entry points.
+"""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+
+class TestTestDriver:
+    def test_eval_and_record_iou(self, tmp_path):
+        from cli.test import main
+
+        iou_pkl = str(tmp_path / "ious.pkl")
+        res = main([
+            "--synthetic", "16", "--batchsize", "8",
+            "--image_height", "176", "--image_width", "192",
+            "--setting", "baseline", "--record_iou", "1",
+            "--iou_filename", iou_pkl,
+        ])
+        assert np.isfinite(res["mean_iou"])
+        with open(iou_pkl, "rb") as f:
+            per_sample = np.asarray(pickle.load(f))
+        # test split of --synthetic 16 is max(16 // 4, 8) = 8 samples
+        assert per_sample.shape == (8, 3)  # per-sample per-class IoU dump
+
+
+class TestModelZooScorer:
+    def test_score_table(self, tmp_path):
+        from cli.calc_model_score import main
+
+        out = str(tmp_path / "scores.csv")
+        df = main([
+            "--models", "baseline", "--datasets", "synthetic",
+            "--synthetic", "16", "--batchsize", "8", "--out", out,
+        ])
+        assert os.path.exists(out)
+        # the reference's 8 score columns (calc_model_score.py:192-198)
+        for col in ("mIou", "bg_iou", "iris_iou", "pup_iou",
+                    "reg_pup", "reg_iris", "seg_pup", "seg_iris"):
+            assert col in df.columns, df.columns
+
+
+class TestImageSelect:
+    def test_selects_edge_wins(self, tmp_path):
+        from cli.image_select import main
+
+        rng = np.random.RandomState(0)
+        base = rng.uniform(0.4, 0.6, (50, 3))
+        meth = base.copy()
+        meth[:5, 1] = base[:5, 1] + 0.3  # edge method wins big on 5 samples
+        meth[:5, 1] = np.clip(meth[:5, 1], 0, 0.95)
+        meth[5:, 1] = base[5:, 1]
+        b, m = str(tmp_path / "b.pkl"), str(tmp_path / "m.pkl")
+        pickle.dump(base, open(b, "wb"))
+        pickle.dump(meth, open(m, "wb"))
+        out = str(tmp_path / "sel.pkl")
+        sel = main(["--baseline", b, "--method", m, "--min_iou", "0.7",
+                    "--out", out])
+        assert set(sel) == set(range(5))
+
+
+class TestAppDataConverter:
+    def test_csv_to_pkl(self, tmp_path):
+        import pandas as pd
+
+        from cli.process_application_data import main
+
+        for name in ("pupil0", "pupil1", "gt"):
+            pd.DataFrame({"x": [1.0, 2.0], "y": [3.0, 4.0]}).to_csv(
+                tmp_path / f"{name}.csv", index=False)
+        out = str(tmp_path / "data.pkl")
+        main(["--pupil0", str(tmp_path / "pupil0.csv"),
+              "--pupil1", str(tmp_path / "pupil1.csv"),
+              "--gt", str(tmp_path / "gt.csv"), "--out", out])
+        with open(out, "rb") as f:
+            data = pickle.load(f)
+        assert set(data) == {"pupil0", "pupil1", "gt"}
+        assert data["gt"].shape == (2, 2)
+
+
+class TestExtractCLI:
+    def test_selections_subcommand(self, tmp_path):
+        from cli.extract_dataset import main
+
+        out = str(tmp_path / "sel.pkl")
+        sel = main(["selections", "--out", out])
+        with open(out, "rb") as f:
+            assert pickle.load(f) == sel
+        assert sel["train"]["LPW"] == ["LPW_2500"]
+
+    def test_lpw_subcommand_end_to_end(self, tmp_path):
+        """Full directory-walk driver over synthesized raw LPW inputs."""
+        import cv2
+
+        from cli.extract_dataset import main
+        from test_generation import _make_avi, _teyed_rows, _write_ann
+
+        ds = tmp_path / "Datasets"
+        (ds / "LPW" / "1").mkdir(parents=True)
+        ann_dir = ds / "LPW-ANNOTATIONS"
+        ann_dir.mkdir()
+        _make_avi(str(ds / "LPW" / "1" / "5.avi"), 24)
+        # reference format: '<person>/<vid>.avi./LPW_<p>_<i>.mp4'
+        # (parsed as key=split('.')[0], value=split('.')[-2] —
+        # Extract_TEyeD_LPW_histo.py:88-93)
+        (ann_dir / "fileassignement.txt").write_text("1/5.avi./LPW_1_1.mp4\n")
+        _write_ann(str(ann_dir), "LPW_1_1.mp4", _teyed_rows(24))
+
+        h5_path, mat_path = main([
+            "lpw", "--path2ds", str(ds), "--pic_num", "21809",  # interval 6
+        ])
+        assert os.path.exists(h5_path) and os.path.exists(mat_path)
+        from eghmd_tpu.data import H5EyeDataset
+
+        d = H5EyeDataset([h5_path], size=(480, 640), scale=None)
+        assert len(d) == 24 // 6
