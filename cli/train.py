@@ -57,6 +57,8 @@ def main(argv=None):
                              shuffle=False, num_workers=cfg.workers) \
         if len(test_ds) >= cfg.batchsize else None
 
+    from eghmd_tpu.parallel import replicated_sharding
+
     ckpt = CheckpointManager(os.path.join(log_dir, "checkpoints"))
     state = trainer.init_state(next(iter(valid_pipe)))
     start_epoch = 0
@@ -73,6 +75,10 @@ def main(argv=None):
         # (reference train.py:162-172)
         state = bootstrap_state(state, cfg.loadfile, setting=variant)
         logger.write(f"bootstrapped weights from {cfg.loadfile}")
+    if start_epoch or cfg.loadfile:
+        # orbax restores leaves with single-device placement; the jitted
+        # step needs everything replicated over the mesh again
+        state = jax.device_put(state, replicated_sharding(trainer.mesh))
     if start_epoch == 0:
         # `_init` snapshot for lottery-ticket-style studies
         # (reference train.py:174-178)

@@ -157,14 +157,27 @@ class ESFNet(nn.Module):
             x = jnp.concatenate([x, x_edge], axis=-1)
 
         enc = DenseEncoder(self.chz, self.growth, dtype=self.dtype, name="enc")
-        x4, x3, x2, x1, bott = enc(x, train)
-        latent = jnp.mean(bott, axis=(1, 2))  # [B, 153]
-
-        if cfg.add_edge:
-            # SAME shared encoder applied to the edge map (reference :283-287);
-            # image skips (not edge skips) feed the decoder.
-            *_, bott_edge = enc(x_edge, train)
-            bott = jnp.concatenate([bott, bott_edge], axis=-1)
+        if cfg.add_edge and not train:
+            # SAME shared encoder applied to both the image and the edge map
+            # (reference :283-287). At inference the two passes are batched
+            # into one encoder call — exact: every norm inside the encoder is
+            # per-sample (InstanceNorm / eval-mode BatchNorm), so stacking on
+            # the batch axis changes nothing. The decoder consumes the IMAGE
+            # half's skips.
+            b = x.shape[0]
+            x4, x3, x2, x1, bott2 = enc(jnp.concatenate([x, x_edge], axis=0),
+                                        train)
+            x4, x3, x2, x1 = (s[:b] for s in (x4, x3, x2, x1))
+            latent = jnp.mean(bott2[:b], axis=(1, 2))  # [B, 153]
+            bott = jnp.concatenate([bott2[:b], bott2[b:]], axis=-1)
+        else:
+            x4, x3, x2, x1, bott = enc(x, train)
+            latent = jnp.mean(bott, axis=(1, 2))  # [B, 153]
+            if cfg.add_edge:
+                # training keeps two passes: the head ConvBlock's BatchNorm
+                # accumulates batch statistics per call like the reference
+                *_, bott_edge = enc(x_edge, train)
+                bott = jnp.concatenate([bott, bott_edge], axis=-1)
 
         op = DenseDecoder(
             self.chz, self.growth, out_c=3, add_edge=bool(cfg.add_edge),
