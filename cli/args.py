@@ -52,6 +52,9 @@ def parse_args(argv=None, train=True):
     p.add_argument("--edge_downscale", type=int, default=1,
                    help="fast-edge mode: run BDCN at 1/N resolution and "
                         "bilinearly upsample the fuse map (~N^2 FLOP cut)")
+    p.add_argument("--seg_downscale", type=int, default=1,
+                   help="fast-seg serving mode: decode the seg map at 1/N "
+                        "resolution (checkpoint-compatible)")
     p.add_argument("--mesh", type=int, default=0,
                    help="data-parallel mesh size; 0 -> all devices")
     p.add_argument("--log_dir", type=str, default="logs")

@@ -30,7 +30,8 @@ def main(argv=None):
     from eghmd_tpu.models import build_model
 
     variant = resolve_variant(args.setting)
-    model = build_model(args.model, variant, cfg.dtype)
+    model = build_model(args.model, variant, cfg.dtype,
+                        seg_downscale=args.seg_downscale)
     img = jnp.zeros((1, 240, 320, 1), jnp.float32)
     rng = jax.random.PRNGKey(0)
     variables = jax.jit(lambda r, a, b: model.init(r, a, b, train=False))(rng, img, img)

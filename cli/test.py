@@ -28,7 +28,8 @@ def main(argv=None):
     from eghmd_tpu.models import build_model
 
     variant = resolve_variant(args.setting)
-    model = build_model(args.model, variant, cfg.dtype)
+    model = build_model(args.model, variant, cfg.dtype,
+                        seg_downscale=args.seg_downscale)
     _, _, test_ds = build_datasets(args, aug_train=False)
     pipe = DataPipeline(test_ds, cfg.batchsize, shuffle=False,
                         num_workers=cfg.workers)

@@ -6,14 +6,17 @@ from .ritnet_noreg import RITnetNoReg
 from .bdcn import BDCN, VGG16C, MSBlock, make_edge_fn
 
 
-def build_model(name, variant=None, dtype=None):
-    """Model registry (reference train.py:135-141 / modelSummary.py)."""
+def build_model(name, variant=None, dtype=None, seg_downscale=1):
+    """Model registry (reference train.py:135-141 / modelSummary.py).
+
+    ``seg_downscale`` selects the fast-seg serving mode on ESF-Net
+    (checkpoint-compatible; see models/esfnet.py)."""
     import jax.numpy as jnp
 
     dtype = dtype or jnp.float32
     if name in ("ritnet_v2", "esfnet"):
         assert variant is not None, "ESF-Net needs a VariantConfig"
-        return ESFNet(setting=variant, dtype=dtype)
+        return ESFNet(setting=variant, dtype=dtype, seg_downscale=seg_downscale)
     if name == "ritnet_v1":
         return RITnetV1(dtype=dtype)
     if name == "deepvog":
