@@ -24,12 +24,27 @@ def run(tmp, expname, epochs, resume=0, loadfile=""):
 
 
 @pytest.mark.slow
-def test_resume_reproduces_trajectory(tmp_path):
+def test_resume_reproduces_trajectory(tmp_path, monkeypatch):
     full = run(tmp_path, "full", epochs=3)
-    # "killed" after 2 epochs, then resumed to 3
-    run(tmp_path, "resumed", epochs=2)
-    resumed = run(tmp_path, "resumed", epochs=3, resume=1)
 
+    # "kill" the second run at the start of epoch 2 (a plain shorter
+    # --epochs would NOT reproduce the full run: the alpha ramp depends on
+    # the total epoch count), then resume it.
+    from eghmd_tpu.training.trainer import Trainer
+
+    orig = Trainer.run_epoch
+
+    def dying(self, state, pipeline, epoch):
+        if epoch == 2:
+            raise KeyboardInterrupt("simulated preemption")
+        return orig(self, state, pipeline, epoch)
+
+    monkeypatch.setattr(Trainer, "run_epoch", dying)
+    with pytest.raises(KeyboardInterrupt):
+        run(tmp_path, "resumed", epochs=3)
+    monkeypatch.setattr(Trainer, "run_epoch", orig)
+
+    resumed = run(tmp_path, "resumed", epochs=3, resume=1)
     assert [h["epoch"] for h in resumed] == [2]
     full_e2 = full[2]
     res_e2 = resumed[0]

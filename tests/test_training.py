@@ -129,3 +129,21 @@ class TestTrainStep:
         state = shared_trainer.set_lr(state, 1e-5)
         state, _ = shared_trainer.train_step(state, b, 0.0)  # must not recompile-crash
         assert float(state.opt_state.hyperparams["learning_rate"]) == pytest.approx(1e-5)
+
+
+class TestGoldenTrajectory:
+    # First train-step losses for baseline@176x192, batch 8, synthetic
+    # seed 3, alpha 0.5 on the 8-device CPU mesh — bit-identical between
+    # round-1 and round-2 trees (verified by replaying both). Guards the
+    # whole numeric path (data gen, losses, optimizer) against silent drift.
+    GOLDEN = [54.526478, 43.664589, 35.652649, 33.93655]
+
+    def test_loss_trajectory_matches_golden(self, mesh_pipe, shared_trainer):
+        batches = list(mesh_pipe[1])
+        state = shared_trainer.init_state(batches[0])
+        losses = []
+        for _ in range(2):
+            for b in batches:
+                state, m = shared_trainer.train_step(state, b, 0.5)
+                losses.append(float(m["loss"]))
+        np.testing.assert_allclose(losses, self.GOLDEN, rtol=2e-4)
