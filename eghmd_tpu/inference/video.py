@@ -91,8 +91,11 @@ class VideoPipeline:
             iris_px = transform_ellipse(el_pred[:, :5].astype(jnp.float32), hu, jnp)
             pupil_px = transform_ellipse(el_pred[:, 5:].astype(jnp.float32), hu, jnp)
             if do_refine:
-                iris_px = refine_ellipse_batch((seg == 1).astype(jnp.float32), iris_px)
-                pupil_px = refine_ellipse_batch((seg == 2).astype(jnp.float32), pupil_px)
+                # one batched refinement over [iris; pupil] masks (2B rows)
+                masks = jnp.concatenate([(seg == 1), (seg == 2)]).astype(jnp.float32)
+                els = jnp.concatenate([iris_px, pupil_px], axis=0)
+                ref = refine_ellipse_batch(masks, els)
+                iris_px, pupil_px = ref[:seg.shape[0]], ref[seg.shape[0]:]
             return seg, edge[..., 0], iris_px, pupil_px
 
         return step
