@@ -97,7 +97,13 @@ def experiment_from_args(args):
 
 
 def build_datasets(args, aug_train=True):
-    """Dataset selection: synthetic, or H5 archives under path2data."""
+    """Dataset selection, in priority order:
+    1. synthetic (``--synthetic N`` or curObj 'synthetic');
+    2. a prebuilt ``<test_mode>/cond_<curObj>.pkl`` split (cli/make_splits.py
+       — the reference's unpickled split objects, train.py:86-94), with
+       archives under ``--path2data``;
+    3. a stratified random split over ``<path2data>/<curObj>*.h5``.
+    """
     import glob
     import os
 
@@ -110,10 +116,20 @@ def build_datasets(args, aug_train=True):
         valid = SyntheticEyeDataset(max(n // 4, 8), size, aug=False, seed=2)
         test = SyntheticEyeDataset(max(n // 4, 8), size, aug=False, seed=3)
         return train, valid, test
+
+    cond_pkl = os.path.join(args.test_mode, f"cond_{args.curObj}.pkl")
+    if os.path.exists(cond_pkl):
+        from eghmd_tpu.data.curriculum import datasets_from_split, load_split
+
+        split = load_split(cond_pkl)
+        return datasets_from_split(split, archives_dir=args.path2data,
+                                   size=size, aug_train=aug_train)
+
     archives = sorted(glob.glob(os.path.join(args.path2data, f"{args.curObj}*.h5")))
     if not archives:
         raise FileNotFoundError(
-            f"no H5 archives matching {args.curObj}*.h5 under {args.path2data}; "
+            f"no split pkl at {cond_pkl} and no H5 archives matching "
+            f"{args.curObj}*.h5 under {args.path2data}; "
             "use --synthetic N for the synthetic dataset"
         )
     from eghmd_tpu.data.curriculum import make_splits

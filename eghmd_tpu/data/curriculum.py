@@ -225,3 +225,67 @@ def make_splits(archives: Sequence[str], size=(480, 640), scale=0.5,
     mk = lambda idx, aug: H5EyeDataset(list(archives), im_list=table[idx],
                                        size=size, scale=scale, aug=aug)
     return mk(train_idx, aug_train), mk(valid_idx, False), mk(test_idx, False)
+
+
+def datasets_from_split(split: DataSplit, archives_dir: str, fold: int = 0,
+                        size=(480, 640), scale=0.5, aug_train=True):
+    """DataSplit -> (train, valid, test) H5EyeDataset triple.
+
+    Archive names resolve to ``<archives_dir>/<name>.h5``; each im_list row
+    carries (im_num, archive_idx, dataset_id) where the dataset id comes
+    from the archive-name prefix (reference helperfunctions.py:480-486).
+    """
+    from .h5dataset import H5EyeDataset
+
+    arch_paths = [os.path.join(archives_dir, f"{str(a)}.h5") for a in split.arch]
+    _, ds_id_per_arch = extract_datasets(split.arch)
+
+    def mk(idx2, aug):
+        if len(idx2) == 0:
+            idx2 = np.zeros((0, 2), np.int64)
+        ds_ids = ds_id_per_arch[np.asarray(idx2[:, 1], np.int64)] if len(idx2) \
+            else np.zeros((0,), np.int64)
+        im_list = np.stack([np.asarray(idx2[:, 0], np.int64),
+                            np.asarray(idx2[:, 1], np.int64),
+                            np.asarray(ds_ids, np.int64)], axis=1) if len(idx2) \
+            else np.zeros((0, 3), np.int64)
+        return H5EyeDataset(arch_paths, im_list=im_list, size=size,
+                            scale=scale, aug=aug)
+
+    f = split.folds[fold]
+    return (mk(f["train_idx"], aug_train), mk(f["valid_idx"], False),
+            mk(f["test_idx"], False))
+
+
+def build_curriculum_split(path2arc_keys: str, cur_obj: str,
+                           selections: Optional[Dict] = None,
+                           mode: str = "vanilla", notest: bool = True,
+                           seed: int = 0) -> DataSplit:
+    """The reference's offline split-building flow (the ``cond_<DS>.pkl``
+    objects train.py:86-94 / test.py:271-274 unpickle): read the .mat master
+    keys, keep the datasetSelections subsets for ``cur_obj``, stratify and
+    split."""
+    all_ds = read_archives(path2arc_keys)
+    if selections is not None:
+        subs = list(selections["train"].get(cur_obj, []))
+        subs += list(selections["test"].get(cur_obj, []))
+        all_ds = sel_subset(all_ds, subs)
+    else:
+        all_ds = sel_dataset(all_ds, [cur_obj])
+    return generate_file_list(all_ds, mode=mode, notest=notest, seed=seed)
+
+
+def save_split(path: str, split: DataSplit):
+    import pickle
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump({"arch": np.asarray(split.arch), "folds": split.folds}, f)
+
+
+def load_split(path: str) -> DataSplit:
+    import pickle
+
+    with open(path, "rb") as f:
+        d = pickle.load(f)
+    return DataSplit(arch=np.asarray(d["arch"]), folds=list(d["folds"]))

@@ -236,3 +236,74 @@ class TestSelections:
         write_dataset_selections(p)
         with open(p, "rb") as f:
             assert pickle.load(f) == sel
+
+
+class TestSplitsWorkflow:
+    """The full offline flow: archives + .mat keys -> datasetSelections ->
+    cond_<DS>.pkl -> driver datasets (the reference's unpickled split
+    objects, train.py:86-94 / test.py:271-274)."""
+
+    def _build_archive(self, tmp_path, name, n=300, seed=0):
+        from eghmd_tpu.data.generation import ArchiveBuilder
+
+        rng = np.random.RandomState(seed)
+        b = ArchiveBuilder(name.split("_")[0], name)
+        for i in range(n):
+            img = rng.randint(0, 255, (48, 64), np.uint8)
+            mask = np.zeros((48, 64), np.int8)
+            mask[10:40, 15:50] = 1
+            mask[18:32, 25:40] = 2
+            mask[22:28, 29:36] = 3
+            pc = [rng.uniform(0.15 * 64, 0.85 * 64), rng.uniform(0.15 * 48, 0.85 * 48)]
+            pup = [pc[0], pc[1], 4.0, 3.0, 0.1]
+            iri = [pc[0], pc[1], 9.0, 8.0, 0.05]
+            b.add(img, mask, mask, str(i), pc, pup, iri)
+        return b.save(str(tmp_path / "Histogram"), str(tmp_path / "Histogram_mat"))
+
+    def test_make_splits_to_driver_datasets(self, tmp_path):
+        from cli.make_splits import main as make_splits_main
+        from eghmd_tpu.data.curriculum import datasets_from_split, load_split
+        from eghmd_tpu.data.generation import write_dataset_selections
+
+        self._build_archive(tmp_path, "LPW_2500", n=300, seed=0)
+        self._build_archive(tmp_path, "LPW_11200", n=200, seed=1)
+        sel_pkl = str(tmp_path / "dataset_selections.pkl")
+        write_dataset_selections(sel_pkl)
+
+        out = make_splits_main([
+            "--path2mat", str(tmp_path / "Histogram_mat"), "--curObj", "LPW",
+            "--selections", sel_pkl, "--mode", "vanilla", "--notest", "0",
+            "--out", str(tmp_path / "leaveoneout" / "cond_LPW.pkl"),
+        ])
+        split = load_split(out)
+        assert set(map(str, split.arch)) == {"LPW_2500", "LPW_11200"}
+        f0 = split.folds[0]
+        total = sum(len(f0[k]) for k in ("train_idx", "valid_idx", "test_idx"))
+        assert total > 400  # border-10% pruning removes some entries
+
+        train, valid, test = datasets_from_split(
+            split, archives_dir=str(tmp_path / "Histogram"),
+            size=(48, 64), scale=None)
+        assert len(train) == len(f0["train_idx"])
+        s = train[0]
+        assert s.image.shape == (48, 64, 1)
+        assert not s.cond.any()
+
+    def test_driver_consumes_cond_pkl(self, tmp_path):
+        from cli.args import build_datasets, parse_args
+        from cli.make_splits import main as make_splits_main
+
+        self._build_archive(tmp_path, "Solo_2500", n=250, seed=2)
+        make_splits_main([
+            "--path2mat", str(tmp_path / "Histogram_mat"), "--curObj", "Solo",
+            "--mode", "vanilla", "--notest", "0",
+            "--out", str(tmp_path / "leaveoneout" / "cond_Solo.pkl"),
+        ])
+        args = parse_args([
+            "--curObj", "Solo", "--path2data", str(tmp_path / "Histogram"),
+            "--test_mode", str(tmp_path / "leaveoneout"),
+            "--image_height", "48", "--image_width", "64",
+        ])
+        train, valid, test = build_datasets(args)
+        assert len(train) > 0 and len(valid) > 0 and len(test) > 0
+        assert train[0].image.shape[2] == 1
