@@ -55,6 +55,34 @@ def main(argv=None):
             state = CheckpointManager(args.loadfile).restore(state)
             variables = {"params": state.params, "batch_stats": state.batch_stats}
 
+    if args.disp:
+        # headless counterpart of the reference's --disp grid
+        # (test.py:175-181 / utils.py generateImageGrid): saves one
+        # annotated prediction grid for the first batch into visual_dir
+        import jax.numpy as jnp
+
+        from eghmd_tpu.geometry.ellipse import transform_ellipse, unnorm_mat
+        from eghmd_tpu.losses import el_pred_from_seg_centers
+        from eghmd_tpu.ops import seg_centers
+        from eghmd_tpu.utils.visual import save_image_grid
+
+        op, el_out, _ = model.apply(variables, batch["image"], batch["edge"],
+                                    train=False)
+        el_pred = el_pred_from_seg_centers(seg_centers(op), el_out)
+        h, w = op.shape[1:3]
+        hu = unnorm_mat(h, w, jnp, dtype=jnp.float32)
+        to_px = lambda e: np.asarray(
+            transform_ellipse(jnp.asarray(e, jnp.float32), hu, jnp))
+        pred_px = np.stack([to_px(el_pred[:, :5]), to_px(el_pred[:, 5:])], 1)
+        gt_px = np.stack([to_px(batch["el_norm"][:, 0]),
+                          to_px(batch["el_norm"][:, 1])], 1)
+        os.makedirs(args.visual_dir, exist_ok=True)
+        grid_path = os.path.join(args.visual_dir, "disp_grid.png")
+        save_image_grid(grid_path, np.asarray(batch["image"])[..., 0],
+                        np.asarray(jnp.argmax(op, -1)),
+                        np.asarray(batch["target"]), pred_px, gt_px)
+        print(f"disp grid saved to {grid_path}")
+
     ev = Evaluator(model, variables, edge_fn=build_edge_fn(args, cfg.dtype),
                    edge_thres=bool(variant.edge_thres or args.edge_thres),
                    bbox_iou=bool(args.record_img), refine=False,

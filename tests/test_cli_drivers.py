@@ -120,3 +120,32 @@ class TestExtractCLI:
 
         d = H5EyeDataset([h5_path], size=(480, 640), scale=None)
         assert len(d) == 24 // 6
+
+
+class TestDispGrid:
+    def test_disp_saves_annotated_grid(self, tmp_path):
+        from cli.test import main
+
+        vd = str(tmp_path / "vis")
+        main([
+            "--synthetic", "16", "--batchsize", "8",
+            "--image_height", "176", "--image_width", "192",
+            "--setting", "baseline", "--disp", "1", "--visual_dir", vd,
+        ])
+        import cv2
+
+        grid = cv2.imread(os.path.join(vd, "disp_grid.png"))
+        assert grid is not None
+        assert grid.shape == (2 * 176, 4 * 192, 3)  # 8 tiles, 4 cols
+
+    def test_generate_image_grid_shapes(self):
+        from eghmd_tpu.utils.visual import generate_image_grid
+
+        rng = np.random.RandomState(0)
+        imgs = rng.rand(3, 32, 48)
+        preds = rng.randint(0, 3, (3, 32, 48))
+        ells = np.tile(np.array([[24.0, 16.0, 10.0, 8.0, 0.3],
+                                 [24.0, 16.0, 5.0, 4.0, -0.2]]), (3, 1, 1))
+        grid = generate_image_grid(imgs, preds, pred_ellipses=ells, cols=2)
+        assert grid.shape == (2 * 32, 2 * 48, 3)
+        assert grid.dtype == np.uint8
