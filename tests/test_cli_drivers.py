@@ -12,6 +12,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow  # compiles a full model on the 1-CPU mesh
 class TestTestDriver:
     def test_eval_and_record_iou(self, tmp_path):
         from cli.test import main
@@ -30,6 +31,7 @@ class TestTestDriver:
         assert per_sample.shape == (8, 3)  # per-sample per-class IoU dump
 
 
+@pytest.mark.slow  # compiles a full model on the 1-CPU mesh
 class TestModelZooScorer:
     def test_score_table(self, tmp_path):
         from cli.calc_model_score import main
@@ -123,6 +125,7 @@ class TestExtractCLI:
 
 
 class TestDispGrid:
+    @pytest.mark.slow  # compiles a full model on the 1-CPU mesh
     def test_disp_saves_annotated_grid(self, tmp_path):
         from cli.test import main
 
