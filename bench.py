@@ -29,7 +29,7 @@ def build_pipeline(dtype=jnp.bfloat16, batch_frames=32, refine=False,
                    edge_downscale=1, seg_downscale=1):
     from eghmd_tpu.config import VARIANT_PRESETS
     from eghmd_tpu.models import ESFNet
-    from eghmd_tpu.models.bdcn import BDCN, make_edge_fn
+    from eghmd_tpu.models.bdcn import BDCN, edge_input_dims, make_edge_fn
     from eghmd_tpu.inference.preprocess import preprocess_frames
     from eghmd_tpu.losses import el_pred_from_seg_centers
     from eghmd_tpu.geometry.ellipse import transform_ellipse, unnorm_mat
@@ -44,9 +44,9 @@ def build_pipeline(dtype=jnp.bfloat16, batch_frames=32, refine=False,
     variables = jax.jit(lambda r, a, b: model.init(r, a, b, train=False))(rng, x0, x0)
 
     bdcn = BDCN(dtype=dtype)
-    s = edge_downscale
-    bdcn_vars = jax.jit(bdcn.init)(rng, jnp.zeros((1, 240 // s, 320 // s, 3), jnp.float32))
-    edge_fn = make_edge_fn(bdcn_vars, dtype=dtype, downscale=s)
+    eh, ew = edge_input_dims(240, 320, edge_downscale)
+    bdcn_vars = jax.jit(bdcn.init)(rng, jnp.zeros((1, eh, ew, 3), jnp.float32))
+    edge_fn = make_edge_fn(bdcn_vars, dtype=dtype, downscale=edge_downscale)
 
     def step(variables, bdcn_vars, frames):
         eyes = jnp.concatenate([frames[:, :, :320], frames[:, :, 320:640]], axis=0)
@@ -124,8 +124,10 @@ def main():
     p.add_argument("--refine", action="store_true",
                    help="include on-device ellipse refinement in the timed path")
     p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--edge-downscale", type=int, default=2,
-                   help="BDCN fast-edge factor (1 = full-resolution edge net)")
+    p.add_argument("--edge-downscale", type=int, default=4,
+                   help="BDCN fast-edge factor (1 = full-resolution edge "
+                        "net); the fuse map is binarized at 0.1 downstream "
+                        "in the edge_thres parity configs")
     p.add_argument("--seg-downscale", type=int, default=2,
                    help="fast-seg factor: decode the seg map at 1/N res "
                         "(1 = full-resolution decoder)")

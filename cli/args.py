@@ -150,12 +150,11 @@ def build_edge_fn(args, dtype):
     import jax
     import jax.numpy as jnp
 
-    from eghmd_tpu.models.bdcn import BDCN, make_edge_fn
+    from eghmd_tpu.models.bdcn import BDCN, edge_input_dims, make_edge_fn
 
     downscale = getattr(args, "edge_downscale", 1)
     if args.bdcn_weights == "random":
-        s = max(downscale, 1)
-        h, w = args.image_height // s, args.image_width // s
+        h, w = edge_input_dims(args.image_height, args.image_width, downscale)
         bdcn = BDCN(dtype=dtype)
         variables = jax.jit(bdcn.init)(
             jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32))

@@ -185,6 +185,15 @@ class BDCN(nn.Module):
         return [jax.nn.sigmoid(p) for p in cascade] + [jax.nn.sigmoid(fuse)]
 
 
+def edge_input_dims(h: int, w: int, downscale: int = 1):
+    """BDCN input dims for a fast-edge factor: reduced dims snapped UP to
+    the nearest multiple of 8 (BDCN has 3 stride-2 pools)."""
+    if downscale <= 1:
+        return h, w
+    return (max(8, -(-h // downscale // 8) * 8),
+            max(8, -(-w // downscale // 8) * 8))
+
+
 def make_edge_fn(variables, dtype=jnp.float32, input_is_gray=True,
                  downscale: int = 1):
     """Frozen edge extractor: gray [B,H,W,1] -> fused edge map [B,H,W,1].
@@ -207,12 +216,8 @@ def make_edge_fn(variables, dtype=jnp.float32, input_is_gray=True,
         x = x.astype(dtype)
         b, h, w, c = x.shape
         if downscale > 1:
-            assert (h // downscale) % 8 == 0 and (w // downscale) % 8 == 0, (
-                f"edge_downscale={downscale} must keep H/W divisible by 8 "
-                f"(BDCN has 3 stride-2 pools); got {h}x{w}"
-            )
-            x = jax.image.resize(x, (b, h // downscale, w // downscale, c),
-                                 "bilinear")
+            th, tw = edge_input_dims(h, w, downscale)
+            x = jax.image.resize(x, (b, th, tw, c), "bilinear")
         fuse = model.apply(variables, x)[-1]
         if downscale > 1:
             fuse = jax.image.resize(fuse, (b, h, w, 1), "bilinear")

@@ -83,11 +83,13 @@ def test_edge_fn_fast_mode_consistency():
     assert float(fast.min()) >= 0.0 and float(fast.max()) <= 1.0
 
 
-def test_edge_fn_fast_mode_rejects_misaligned():
+def test_edge_fn_fast_mode_snaps_to_pool_alignment():
+    """downscale that would break BDCN's 3 stride-2 pools (240/4 = 60) snaps
+    the reduced dims up to the nearest multiple of 8 (64x80)."""
     model = BDCN()
     rng = jax.random.PRNGKey(2)
-    img = jax.random.normal(rng, (1, 240, 320, 1))
-    x3 = jnp.concatenate([img[:, :60, :80]] * 3, -1)
-    variables = model.init(rng, jax.image.resize(x3, (1, 48, 64, 3), "bilinear"))
-    with pytest.raises(AssertionError, match="divisible by 8"):
-        jax.jit(make_edge_fn(variables, downscale=4))(img)
+    img = jax.nn.sigmoid(jax.random.normal(rng, (1, 240, 320, 1)))
+    variables = model.init(rng, jnp.zeros((1, 64, 80, 3)))
+    e = jax.jit(make_edge_fn(variables, downscale=4))(img)
+    assert e.shape == (1, 240, 320, 1)
+    assert float(e.min()) >= 0.0 and float(e.max()) <= 1.0
