@@ -123,3 +123,29 @@ def bootstrap_state(state, loadfile: str, setting=None):
     params = jax.tree.map(jnp.asarray, variables["params"])
     bs = jax.tree.map(jnp.asarray, variables.get("batch_stats", state.batch_stats))
     return state._replace(params=params, batch_stats=bs)
+
+
+def partial_weight_loading(src_params, dst_params):
+    """Copy every leaf whose tree path AND shape match from ``src_params``
+    into ``dst_params``; leaves that don't match keep the destination's
+    (fresh) values.
+
+    Counterpart of reference pytorchtools.py:85-101 — used to bootstrap one
+    model variant from another's checkpoint (e.g. a baseline encoder into an
+    add_edge model, whose decoder widths differ).
+    Returns (merged_params, n_copied, n_total).
+    """
+    import jax
+
+    flat_src = dict(jax.tree_util.tree_flatten_with_path(src_params)[0])
+    flat_dst, treedef = jax.tree_util.tree_flatten_with_path(dst_params)
+    merged, copied = [], 0
+    for path, leaf in flat_dst:
+        cand = flat_src.get(path)
+        if cand is not None and getattr(cand, "shape", None) == leaf.shape:
+            merged.append(cand)
+            copied += 1
+        else:
+            merged.append(leaf)
+    return (jax.tree_util.tree_unflatten(treedef, merged), copied,
+            len(flat_dst))

@@ -60,3 +60,32 @@ def test_bootstrap_from_checkpoint(tmp_path):
     donor_ck = str(tmp_path / "ritnet_v2" / "donor" / "checkpoints")
     hist = run(tmp_path, "boot", epochs=1, loadfile=donor_ck)
     assert len(hist) == 1 and np.isfinite(hist[0]["train"]["loss"])
+
+
+def test_partial_weight_loading_across_variants():
+    """Reference pytorchtools.py:85-101 semantics: matching-path+shape
+    leaves transfer, the rest stay freshly initialized."""
+    import jax
+    import jax.numpy as jnp
+
+    from eghmd_tpu.config import VARIANT_PRESETS
+    from eghmd_tpu.models import ESFNet
+    from eghmd_tpu.training.checkpoints import partial_weight_loading
+
+    x = jnp.zeros((1, 176, 192, 1))
+    src_m = ESFNet(setting=VARIANT_PRESETS["baseline"])
+    dst_m = ESFNet(setting=VARIANT_PRESETS["baseline_edge"])
+    src = jax.jit(lambda r: src_m.init(r, x, x, train=False))(jax.random.PRNGKey(0))
+    dst = jax.jit(lambda r: dst_m.init(r, x, x, train=False))(jax.random.PRNGKey(1))
+
+    merged, copied, total = partial_weight_loading(src["params"], dst["params"])
+    assert 0 < copied < total  # encoder transfers; wider decoder/regressor don't
+    # a transferred leaf equals the source...
+    np.testing.assert_array_equal(
+        np.asarray(merged["enc"]["head"]["conv1"]["kernel"]),
+        np.asarray(src["params"]["enc"]["head"]["conv1"]["kernel"]))
+    # ...and a shape-mismatched leaf keeps the destination init
+    k = "up_block4"
+    np.testing.assert_array_equal(
+        np.asarray(merged["dec"][k]["conv11"]["kernel"]),
+        np.asarray(dst["params"]["dec"][k]["conv11"]["kernel"]))
