@@ -60,6 +60,10 @@ def parse_args(argv=None, train=True):
     p.add_argument("--log_dir", type=str, default="logs")
     p.add_argument("--profile_dir", type=str, default="",
                    help="capture a jax.profiler trace of the first steps")
+    p.add_argument("--weights_init", type=str, default="flax",
+                   choices=["flax", "reference", "xavier"],
+                   help="from-scratch init scheme (reference = the He/0.01 "
+                        "scheme of models/RITnet_v2.py:356-369)")
     args = p.parse_args(argv)
     print("------\nparsed arguments:")
     pprint(vars(args))
@@ -92,6 +96,7 @@ def experiment_from_args(args):
         image_size=(args.image_height, args.image_width),
         log_dir=args.log_dir,
         profile_dir=args.profile_dir,
+        weights_init=getattr(args, "weights_init", "flax"),
         mesh_shape=(args.mesh,) if args.mesh else None,
     )
 

@@ -102,6 +102,7 @@ class ExperimentConfig:
     image_size: Tuple[int, int] = (240, 320)  # (H, W) per eye
     log_dir: str = "logs"
     profile_dir: str = ""           # non-empty: jax.profiler trace of early steps
+    weights_init: str = "flax"      # flax | reference (He/0.01) | xavier
     # TPU-specific
     mesh_shape: Optional[Tuple[int, ...]] = None  # None -> all devices on 'data'
     donate_state: bool = True

@@ -215,6 +215,11 @@ class Trainer:
             lambda r, a, b: self.model.init(r, a, b, train=False)
         )(rng, sample_batch["image"], sample_batch["edge"])
         params = variables["params"]
+        if self.config.weights_init != "flax":
+            from ..utils.init import INIT_SCHEMES
+
+            params = INIT_SCHEMES[self.config.weights_init](
+                params, jax.random.fold_in(rng, 1))
         batch_stats = variables.get("batch_stats", {})
         if self.ds_head is not None:
             latent_dim = self.config.variant.feature_channels

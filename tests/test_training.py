@@ -147,3 +147,29 @@ class TestGoldenTrajectory:
                 state, m = shared_trainer.train_step(state, b, 0.5)
                 losses.append(float(m["loss"]))
         np.testing.assert_allclose(losses, self.GOLDEN, rtol=2e-4)
+
+
+class TestWeightInitSchemes:
+    def test_reference_and_xavier_distributions(self):
+        """He/0.01 scheme of models/RITnet_v2.py:356-369 and the xavier
+        scheme of pytorchtools.py:70-83 as param-tree transforms."""
+        from eghmd_tpu.utils.init import reference_model_init, xavier_weights_init
+
+        m = ESFNet(setting=VARIANT_PRESETS["baseline"])
+        x = jnp.zeros((1, 176, 192, 1))
+        v = jax.jit(lambda r: m.init(r, x, x, train=False))(jax.random.PRNGKey(0))
+
+        p = reference_model_init(v["params"], jax.random.PRNGKey(7))
+        k = np.asarray(p["enc"]["head"]["conv1"]["kernel"])  # [3,3,1,32]
+        he = np.sqrt(2.0 / (3 * 3 * 32))
+        assert abs(k.std() - he) < 0.3 * he
+        assert np.all(np.asarray(p["enc"]["head"]["conv1"]["bias"]) == 0)
+        lin = np.asarray(p["elReg"]["l1"]["kernel"])
+        assert abs(lin.std() - 0.01) < 0.002
+
+        px = xavier_weights_init(v["params"], jax.random.PRNGKey(8))
+        kx = np.asarray(px["elReg"]["l1"]["kernel"])
+        exp = np.sqrt(2.0 / (kx.shape[0] + kx.shape[1]))
+        assert abs(kx.std() - exp) < 0.3 * exp
+        # norm scales untouched (stay 1)
+        assert np.all(np.asarray(p["dec"]["final"]["bn"]["scale"]) == 1)
