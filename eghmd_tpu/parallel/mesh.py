@@ -47,3 +47,43 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Place a host batch dict onto the mesh, sharded along the batch dim."""
     return jax.device_put(batch, batch_sharding(mesh, axis))
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None):
+    """Multi-host (DCN) initialization.
+
+    On a multi-host deployment each process calls this once before any jax
+    API; afterwards ``make_mesh()`` spans every chip in the slice and the
+    same global-view jitted step runs unchanged — gradient all-reduce rides
+    ICI within a host and DCN across hosts, inserted by XLA. On TPU pods the
+    arguments resolve automatically from the environment; pass them
+    explicitly for CPU/GPU fleets. No-op when already initialized.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        kwargs = {}
+        if coordinator_address is not None:
+            kwargs = dict(coordinator_address=coordinator_address,
+                          num_processes=num_processes, process_id=process_id)
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass  # single-process run (the common local case)
+
+
+def local_batch_slice(global_batch: int, mesh: Mesh, axis: str = "data"):
+    """(start, size) of this process's shard of a globally sharded batch.
+
+    Host data loading in multi-host DP: each process feeds only its
+    addressable slice; jax.make_array_from_process_local_data assembles the
+    global array.
+    """
+    n_shards = mesh.shape[axis]
+    per = global_batch // n_shards
+    local_devices = set(jax.local_devices())
+    # contiguous run of mesh positions owned by this process
+    positions = [i for i, d in enumerate(mesh.devices.reshape(-1))
+                 if d in local_devices]
+    return positions[0] * per, len(positions) * per

@@ -173,3 +173,19 @@ class TestWeightInitSchemes:
         assert abs(kx.std() - exp) < 0.3 * exp
         # norm scales untouched (stay 1)
         assert np.all(np.asarray(p["dec"]["final"]["bn"]["scale"]) == 1)
+
+
+class TestMeshHelpers:
+    def test_local_batch_slice_single_process(self):
+        from eghmd_tpu.parallel.mesh import local_batch_slice
+
+        mesh = make_mesh()
+        start, size = local_batch_slice(64, mesh)
+        # single-process: this process owns the whole mesh
+        assert (start, size) == (0, 64)
+
+    def test_initialize_distributed_noop_single_process(self):
+        from eghmd_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed()  # must not raise in a single-process run
+        assert jax.process_count() == 1
