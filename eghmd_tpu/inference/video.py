@@ -144,22 +144,44 @@ class VideoPipeline:
         ellipse_log = {}
         centers = []
         bf = self.batch_frames
-        for start in range(0, len(frames), bf):
+
+        def make_batch(start):
             chunk = np.stack(frames[start: start + bf])
+            if chunk.shape[0] < bf:
+                # pad the tail batch to the steady-state shape: ONE compiled
+                # step shape for the whole video (padded rows are discarded)
+                reps = np.repeat(chunk[-1:], bf - chunk.shape[0], axis=0)
+                chunk = np.concatenate([chunk, reps], axis=0)
+            n_real = min(bf, len(frames) - start)
             if dual:
                 eyes = np.concatenate([chunk[:, :, :320], chunk[:, :, 320:640]], 0)
             else:
                 eyes = chunk
-            seg, edge, iris_px, pupil_px = self.infer_frames(eyes)
+            # async dispatch: jax returns futures, letting the host overlay/
+            # encode the PREVIOUS batch while this one computes on device
+            return start, chunk[:n_real], eyes, self._step(self.variables,
+                                                           jnp.asarray(eyes))
+
+        starts = list(range(0, len(frames), bf))
+        pending = make_batch(starts[0])
+        for k in range(len(starts)):
+            start, chunk, eyes, dev = pending
+            if k + 1 < len(starts):
+                nxt = make_batch(starts[k + 1])
+            seg, edge, iris_px, pupil_px = (np.asarray(a) for a in dev)
+            if k + 1 < len(starts):
+                pending = nxt
             # scale_shift for the raw eye crop shape
             sc = self.op_shape[1] / eyes.shape[2]
             pad = self.op_shape[0] - int(eyes.shape[1] * sc)
             n = chunk.shape[0]
+            # second-eye offset in the (possibly padded) device batch
+            stride = eyes.shape[0] // 2 if dual else eyes.shape[0]
             for i in range(n):
                 fi = start + i
                 per_eye = []
                 for e in range(2 if dual else 1):
-                    j = i + e * n
+                    j = i + e * stride
                     ip = rescale_ellipse_to_original(iris_px[j], (sc, pad))
                     pp = rescale_ellipse_to_original(pupil_px[j], (sc, pad))
                     per_eye.append({"iris": ip, "pupil": pp})
@@ -168,7 +190,7 @@ class VideoPipeline:
                 if write_videos:
                     canvases = []
                     for e in range(2 if dual else 1):
-                        j = i + e * n
+                        j = i + e * stride
                         crop = chunk[i][:, e * 320:(e + 1) * 320] if dual else chunk[i]
                         seg_up = cv2.resize(
                             seg[j].astype(np.uint8),
@@ -185,7 +207,7 @@ class VideoPipeline:
                     writer.write(canvas)
                     edge_canvas = []
                     for e in range(2 if dual else 1):
-                        j = i + e * n
+                        j = i + e * stride
                         em = cv2.resize((edge[j] * 255).astype(np.uint8),
                                         (320 if dual else w0, h0))
                         edge_canvas.append(np.stack([em] * 3, 2))
