@@ -62,6 +62,7 @@ def test_bootstrap_from_checkpoint(tmp_path):
     assert len(hist) == 1 and np.isfinite(hist[0]["train"]["loss"])
 
 
+@pytest.mark.slow  # compiles two model inits on the 1-CPU mesh
 def test_partial_weight_loading_across_variants():
     """Reference pytorchtools.py:85-101 semantics: matching-path+shape
     leaves transfer, the rest stay freshly initialized."""

@@ -150,6 +150,7 @@ class TestGoldenTrajectory:
 
 
 class TestWeightInitSchemes:
+    @pytest.mark.slow  # compiles a full model init on the 1-CPU mesh
     def test_reference_and_xavier_distributions(self):
         """He/0.01 scheme of models/RITnet_v2.py:356-369 and the xavier
         scheme of pytorchtools.py:70-83 as param-tree transforms."""
