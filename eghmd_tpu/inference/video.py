@@ -106,6 +106,33 @@ class VideoPipeline:
         return (np.asarray(seg), np.asarray(edge), np.asarray(iris_px),
                 np.asarray(pupil_px))
 
+    @staticmethod
+    def _decode_chunks(path_in: str, bf: int, max_frames: Optional[int]):
+        """Stream gray frames in batch-sized chunks (no whole-file buffering:
+        an hour-long recording must not need hours of RAM)."""
+        import cv2
+
+        cap = cv2.VideoCapture(path_in)
+        try:
+            chunk = []
+            n = 0
+            while True:
+                ret, fr = cap.read()
+                if not ret:
+                    break
+                gray = cv2.cvtColor(fr, cv2.COLOR_BGR2GRAY) if fr.ndim == 3 else fr
+                chunk.append(gray)
+                n += 1
+                if len(chunk) == bf:
+                    yield np.stack(chunk)
+                    chunk = []
+                if max_frames and n >= max_frames:
+                    break
+            if chunk:
+                yield np.stack(chunk)
+        finally:
+            cap.release()
+
     def process_video(self, path_in: str, out_dir: str, method: str = "ours",
                       max_frames: Optional[int] = None, write_videos: bool = True):
         """Run the full dual-eye pipeline over one video file."""
@@ -115,21 +142,14 @@ class VideoPipeline:
         name = os.path.splitext(os.path.basename(path_in))[0]
         cap = cv2.VideoCapture(path_in)
         fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
-
-        frames = []
-        while True:
-            ret, fr = cap.read()
-            if not ret:
-                break
-            gray = cv2.cvtColor(fr, cv2.COLOR_BGR2GRAY) if fr.ndim == 3 else fr
-            frames.append(gray)
-            if max_frames and len(frames) >= max_frames:
-                break
+        ok, first = cap.read()
         cap.release()
-        if not frames:
+        if not ok:
             raise ValueError(f"no frames decoded from {path_in}")
+        if first.ndim == 3:
+            first = cv2.cvtColor(first, cv2.COLOR_BGR2GRAY)
 
-        h0, w0 = frames[0].shape
+        h0, w0 = first.shape
         dual = w0 >= 640
         writer = edge_writer = None
         if write_videos:
@@ -145,14 +165,13 @@ class VideoPipeline:
         centers = []
         bf = self.batch_frames
 
-        def make_batch(start):
-            chunk = np.stack(frames[start: start + bf])
-            if chunk.shape[0] < bf:
+        def make_batch(start, chunk):
+            n_real = chunk.shape[0]
+            if n_real < bf:
                 # pad the tail batch to the steady-state shape: ONE compiled
                 # step shape for the whole video (padded rows are discarded)
-                reps = np.repeat(chunk[-1:], bf - chunk.shape[0], axis=0)
+                reps = np.repeat(chunk[-1:], bf - n_real, axis=0)
                 chunk = np.concatenate([chunk, reps], axis=0)
-            n_real = min(bf, len(frames) - start)
             if dual:
                 eyes = np.concatenate([chunk[:, :, :320], chunk[:, :, 320:640]], 0)
             else:
@@ -162,15 +181,19 @@ class VideoPipeline:
             return start, chunk[:n_real], eyes, self._step(self.variables,
                                                            jnp.asarray(eyes))
 
-        starts = list(range(0, len(frames), bf))
-        pending = make_batch(starts[0])
-        for k in range(len(starts)):
+        decoder = self._decode_chunks(path_in, bf, max_frames)
+        pending = make_batch(0, next(decoder))
+        done = False
+        while not done:
             start, chunk, eyes, dev = pending
-            if k + 1 < len(starts):
-                nxt = make_batch(starts[k + 1])
+            nxt_chunk = next(decoder, None)
+            if nxt_chunk is not None:
+                nxt = make_batch(start + bf, nxt_chunk)
             seg, edge, iris_px, pupil_px = (np.asarray(a) for a in dev)
-            if k + 1 < len(starts):
+            if nxt_chunk is not None:
                 pending = nxt
+            else:
+                done = True
             # scale_shift for the raw eye crop shape
             sc = self.op_shape[1] / eyes.shape[2]
             pad = self.op_shape[0] - int(eyes.shape[1] * sc)
