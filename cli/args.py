@@ -112,7 +112,7 @@ def build_datasets(args, aug_train=True):
     import glob
     import os
 
-    from eghmd_tpu.data import SyntheticEyeDataset, H5EyeDataset
+    from eghmd_tpu.data import SyntheticEyeDataset
 
     size = (args.image_height, args.image_width)
     if args.synthetic or args.curObj == "synthetic":

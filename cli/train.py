@@ -18,7 +18,6 @@ def main(argv=None):
     args = parse_args(argv)
     cfg = experiment_from_args(args)
 
-    import numpy as np
     import jax
 
     from eghmd_tpu.config import resolve_variant

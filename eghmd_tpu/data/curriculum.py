@@ -9,10 +9,9 @@ and train/valid/test file-list generation ('vanilla' / 'foldK' / 'none' modes,
 
 from __future__ import annotations
 
-import copy
 import os
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

@@ -14,7 +14,7 @@ All fitting uses the batched numpy path of :mod:`eghmd_tpu.geometry`.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -8,7 +8,7 @@ normalization, emitting NHWC numpy arrays ready for batching.
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import numpy as np
 

@@ -11,7 +11,7 @@ reference train.py:208-212), the benchmark, and end-to-end drivers.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

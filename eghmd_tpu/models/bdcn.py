@@ -19,7 +19,7 @@ to 3 channels; only the fused map (index -1) is consumed
 
 from __future__ import annotations
 
-from typing import Any, List
+from typing import Any
 
 import numpy as np
 import jax

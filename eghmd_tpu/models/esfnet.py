@@ -26,7 +26,7 @@ reference fused them into ``forward`` purely as a ``DataParallel`` workaround
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +42,6 @@ from .blocks import (
     RegressionModule,
     StyleEncoder,
     adain_mean_std,
-    instance_norm,
 )
 
 Dtype = Any

@@ -16,8 +16,8 @@ from flax import linen as nn
 
 from .blocks import conv_precision
 
-from .blocks import ConvBlock, DenseUpBlock, RegressionModule, leaky_relu, upsample2x_bilinear
-from .esfnet import DenseEncoder, get_sizes
+from .blocks import ConvBlock, RegressionModule, leaky_relu, upsample2x_bilinear
+from .esfnet import DenseEncoder
 
 Dtype = Any
 

@@ -21,7 +21,6 @@ import jax.numpy as jnp
 
 try:
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     _HAS_PALLAS = True
 except Exception:  # pragma: no cover

@@ -8,7 +8,7 @@ delta 1e-3)`` (train.py:198-203, pytorchtools.py:13-67).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

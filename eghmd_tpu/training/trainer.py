@@ -29,7 +29,7 @@ from ..losses import compute_all_losses, conf_loss, el_pred_from_seg_centers
 from ..losses.point import self_consistency_loss
 from ..metrics import seg_iou_metrics, point_metric, angle_metric
 from ..geometry.points import unnorm_pts
-from ..parallel import make_mesh, batch_sharding, replicated_sharding
+from ..parallel import make_mesh, replicated_sharding
 from .schedule import alpha_schedule, composite_stop_metric, EarlyStopping, ReduceLROnPlateau
 
 

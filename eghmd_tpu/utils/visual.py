@@ -9,8 +9,6 @@ driving a live matplotlib window.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 SEG_COLORS = np.array([[0, 0, 0], [0, 160, 0], [160, 0, 0]], np.int16)
