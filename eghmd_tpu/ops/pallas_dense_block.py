@@ -30,6 +30,15 @@ Kernel geometry (chosen for what Mosaic can lower without relayouts):
     indexing by a one-flat-row shifted store.
 
 Forward-only (serving); training keeps the flax/XLA path.
+
+Status (measured on one v5e chip, up_block1 shapes at batch 64): the first
+9-tap design ran 54 ms vs XLA's 28 ms; lane-grouping the dx taps (K = 3*cc
+matmuls via offset stores) cut it to 37 ms and double-buffered input DMA to
+~32 ms (th=16) — still ~13% behind XLA's conv fusions, so the kernel stays
+experimental. Decomposition: per-band DMA ~5 us (hidden), conv11 K=128
+matmul ~1 ms total, the two 3x3 convs ~9 ms, remaining fixed per-program
+cost (masks, grouped stores, relayouts) dominates. A win likely needs
+32-sublane tiles with channels folded 4x into lanes end to end.
 """
 
 from __future__ import annotations
@@ -69,16 +78,28 @@ def _valid_mask(rows, w2, row_lo, row_hi, img_cols, dtype):
     return m.astype(dtype).reshape(rows * w2, 1)
 
 
-def _conv3x3_flat(src_ref, ktaps, bias, w2, m_out):
-    """3x3 conv over a flat padded-frame buffer: 9 contiguous-slice matmuls.
-    Output row q corresponds to padded position (q // w2, q % w2); entries
-    with column >= w2 - 2 are cross-row garbage the caller masks/ignores."""
+def _conv3x3_flat(src3_ref, ktaps_dy, bias, w2, m_out, cc):
+    """3x3 conv over a flat padded-frame buffer whose dx taps are PRE-GROUPED
+    along lanes (src3_ref[q, dx*cc:(dx+1)*cc] = src[q+dx]): 3 matmuls with
+    K = 3*cc instead of 9 with K = cc (~3x better MXU feeding; measured
+    13 ms -> 4.5 ms for the up1 conv at batch 64). Output row q corresponds
+    to padded position (q // w2, q % w2); entries with column >= w2 - 2 are
+    cross-row garbage the caller masks/ignores."""
     acc = bias[...].astype(jnp.float32)
     for dy in range(3):
-        for dx in range(3):
-            ofs = dy * w2 + dx
-            acc = acc + _matmul(src_ref[ofs:ofs + m_out, :], ktaps[dy * 3 + dx])
+        ofs = dy * w2
+        acc = acc + _matmul(src3_ref[ofs:ofs + m_out, :], ktaps_dy[dy])
     return acc
+
+
+def _store_dx_grouped(dst3_ref, t, m, cc):
+    """Store t [m, cc] into a [m, 3*cc] buffer with dx-shifted lane groups:
+    dst3[q, dx*cc:(dx+1)*cc] = t[q+dx] (tail rows zeroed)."""
+    dst3_ref[0:m, 0:cc] = t
+    dst3_ref[0:m - 1, cc:2 * cc] = t[1:m]
+    dst3_ref[0:m - 2, 2 * cc:3 * cc] = t[2:m]
+    dst3_ref[m - 1:m, cc:2 * cc] = jnp.zeros((1, cc), dst3_ref.dtype)
+    dst3_ref[m - 2:m, 2 * cc:3 * cc] = jnp.zeros((2, cc), dst3_ref.dtype)
 
 
 def _kernel(x_hbm, k11, b11, k12, b12, k21, b21, k21x1, k22, b22,
@@ -92,12 +113,31 @@ def _kernel(x_hbm, k11, b11, k12, b12, k21, b21, k21x1, k22, b22,
     bb = pl.program_id(0)
     i = pl.program_id(1)
     n = pl.num_programs(1)
+    nb = pl.num_programs(0)
 
-    cp_in = pltpu.make_async_copy(x_hbm.at[bb, pl.ds(i * th, hw)], x_s, sems)
-    cp_in.start()
-    cp_in.wait()
+    # double-buffered input DMA: program k waits on the copy started by
+    # program k-1 and prefetches band k+1 while it computes (scratch and
+    # semaphores persist across grid iterations)
+    k = bb * n + i
+    slot = jax.lax.rem(k, 2)
 
-    x2 = x_s[...].reshape(hw * w2, cp)
+    @pl.when(k == 0)
+    def _():
+        pltpu.make_async_copy(x_hbm.at[0, pl.ds(0, hw)], x_s.at[0],
+                              sems.at[0]).start()
+
+    @pl.when(k + 1 < nb * n)
+    def _():
+        nk = k + 1
+        nslot = jax.lax.rem(nk, 2)
+        pltpu.make_async_copy(
+            x_hbm.at[jax.lax.div(nk, n), pl.ds(jax.lax.rem(nk, n) * th, hw)],
+            x_s.at[nslot], sems.at[nslot]).start()
+
+    pltpu.make_async_copy(x_hbm.at[bb, pl.ds(i * th, hw)], x_s.at[slot],
+                          sems.at[slot]).wait()
+
+    x2 = x_s[slot].reshape(hw * w2, cp)
 
     # ---- conv11 (1x1) -> t, already in padded-column layout --------------
     # (x padded col c = image col c-1, so t is too). Out-of-image positions
@@ -110,16 +150,13 @@ def _kernel(x_hbm, k11, b11, k12, b12, k21, b21, k21x1, k22, b22,
     r = jax.lax.broadcasted_iota(jnp.int32, (hw, w2, 1), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (hw, w2, 1), 1)
     tmask = (r >= row_lo) & (r < row_hi) & (c >= 1) & (c <= width)
-    t_s[0:hw * w2, :] = (t * tmask.astype(jnp.float32).reshape(hw * w2, 1)
-                         ).astype(t_s.dtype)
-    # tap slices run 2 flat rows past the band (their results land only in
-    # discarded border columns) — keep those rows defined
-    t_s[hw * w2:, :] = jnp.zeros((2, cc), t_s.dtype)
+    t = (t * tmask.astype(jnp.float32).reshape(hw * w2, 1)).astype(x_s.dtype)
+    _store_dx_grouped(t_s, t, hw * w2, cc)
 
     # ---- conv12 (3x3) + lrelu -> x1 ---------------------------------------
     # x1 flat row q = (band row q//w2 + 1, IMAGE col q%w2)
     m1 = (th + 2) * w2
-    x1 = _lrelu(_conv3x3_flat(t_s, k12, b12, w2, m1)).astype(x_s.dtype)
+    x1 = _lrelu(_conv3x3_flat(t_s, k12, b12, w2, m1, cc)).astype(x_s.dtype)
 
     # ---- conv21 (1x1 over concat(x, x1)) ----------------------------------
     # x at padded col (q%w2)+1 of band row q//w2+1 is flat offset q + w2 + 1
@@ -129,15 +166,21 @@ def _kernel(x_hbm, k11, b11, k12, b12, k21, b21, k21x1, k22, b22,
     # mask to real pixels (x1/t2 band rows map to image rows i*th-1+s)
     row_lo2 = jnp.where(i == 0, 1, 0)
     row_hi2 = jnp.where(i == n - 1, th + 1, th + 2)
-    t2 = t2 * _valid_mask(th + 2, w2, row_lo2, row_hi2, width, jnp.float32)
-    # re-align image-col -> padded-col indexing: one-flat-row shifted store
-    t2_s[0:1, :] = jnp.zeros((1, cc), t2_s.dtype)
-    t2_s[1:m1 + 1, :] = t2.astype(t2_s.dtype)
-    t2_s[m1 + 1:, :] = jnp.zeros((1, cc), t2_s.dtype)
+    t2 = (t2 * _valid_mask(th + 2, w2, row_lo2, row_hi2, width, jnp.float32)
+          ).astype(x_s.dtype)
+    # re-align image-col -> padded-col indexing (one-flat-row shift) while
+    # lane-grouping the dx taps: group dx reads t2_pad[q+dx] = t2[q+dx-1]
+    t2_s[0:1, 0:cc] = jnp.zeros((1, cc), t2_s.dtype)
+    t2_s[1:m1 + 1, 0:cc] = t2
+    t2_s[0:m1, cc:2 * cc] = t2
+    t2_s[0:m1 - 1, 2 * cc:3 * cc] = t2[1:m1]
+    t2_s[m1:, 0:cc] = jnp.zeros((1, cc), t2_s.dtype)
+    t2_s[m1:, cc:2 * cc] = jnp.zeros((1, cc), t2_s.dtype)
+    t2_s[m1 - 1:, 2 * cc:3 * cc] = jnp.zeros((2, cc), t2_s.dtype)
 
     # ---- conv22 (3x3) + lrelu -> out band ---------------------------------
     m0 = th * w2
-    out = _lrelu(_conv3x3_flat(t2_s, k22, b22, w2, m0))
+    out = _lrelu(_conv3x3_flat(t2_s, k22, b22, w2, m0, cc))
     out3 = out.astype(out_ref.dtype).reshape(th, w2, cc)
     out_ref[0, :, :, :] = out3[:, 0:width, :]
 
@@ -175,8 +218,10 @@ def fused_up_block(up_full, skip, params, th: int = 8, interpret=None):
     k11p = cast(zpad(k11))
     k21p = cast(zpad(k21[:cin]))
     k21x1 = cast(k21[cin:])
-    k12 = cast(params["conv12"]["kernel"].reshape(9, cc, cc))
-    k22 = cast(params["conv22"]["kernel"].reshape(9, cc, cc))
+    # tap kernels grouped by dy with the 3 dx taps stacked along K
+    # (matching the lane-grouped activation layout): [3, 3*cc, cc]
+    k12 = cast(params["conv12"]["kernel"].reshape(3, 3 * cc, cc))
+    k22 = cast(params["conv22"]["kernel"].reshape(3, 3 * cc, cc))
     b11 = f32(params["conv11"]["bias"])
     b12 = f32(params["conv12"]["bias"])
     b21 = f32(params["conv21"]["bias"])
@@ -201,10 +246,10 @@ def fused_up_block(up_full, skip, params, th: int = 8, interpret=None):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cc), dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 4, w2, cp), dtype),
-            pltpu.VMEM(((th + 4) * w2 + 2, cc), dtype),
-            pltpu.VMEM(((th + 2) * w2 + 2, cc), dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, th + 4, w2, cp), dtype),  # double-buffered input
+            pltpu.VMEM(((th + 4) * w2, 3 * cc), dtype),
+            pltpu.VMEM(((th + 2) * w2 + 1, 3 * cc), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(x_p, k11p, b11, k12, b12, k21p, b21, k21x1, k22, b22)
