@@ -170,3 +170,72 @@ def load_reference_bdcn_checkpoint(path):
     raw = torch.load(path, map_location="cpu", weights_only=False)
     sd = raw["a"] if isinstance(raw, dict) and "a" in raw else raw
     return bdcn_torch_to_flax(sd)
+
+
+def ritnet_v1_torch_to_flax(state_dict):
+    """Reference RITNet v1 (models/RITnet_v1.py:193-260) -> RITnetV1 variables."""
+    sd = _as_numpy(strip_module_prefix(state_dict))
+    params: dict = {}
+    stats: dict = {}
+    for i in range(1, 6):
+        t, f = f"enc.down_block{i}", (f"down_block{i}",)
+        for name in ("conv1", "conv21", "conv22", "conv31", "conv32"):
+            _convert_conv(sd, params, f"{t}.{name}", f + (name,))
+        _convert_bn(sd, params, stats, f"{t}.bn", f + ("bn",))
+    for i in (4, 3, 2, 1):
+        t, f = f"dec.up_block{i}", (f"up_block{i}",)
+        for name in ("conv11", "conv12", "conv21", "conv22"):
+            _convert_conv(sd, params, f"{t}.{name}", f + (name,))
+    _convert_conv(sd, params, "dec.final", ("final",))
+    _convert_conv(sd, params, "elReg.c1", ("elReg", "c1"))
+    _convert_conv(sd, params, "elReg.c2", ("elReg", "c2"))
+    _convert_conv(sd, params, "elReg.c3", ("elReg", "c3"), bias=False)
+    _convert_linear(sd, params, "elReg.l1", ("elReg", "l1"))
+    _convert_linear(sd, params, "elReg.l2", ("elReg", "l2"))
+    return {"params": params, "batch_stats": stats}
+
+
+def deepvog_torch_to_flax(state_dict):
+    """Reference DeepVOG (models/deepvog_pytorch.py:83-149) -> DeepVOG
+    variables. up_block5's dead conv2/bn2 (never run: up_sampling=False)
+    are skipped."""
+    sd = _as_numpy(strip_module_prefix(state_dict))
+    params: dict = {}
+    stats: dict = {}
+    for i in range(1, 5):
+        t, f = f"down_block{i}", (f"down_block{i}",)
+        _convert_conv(sd, params, f"{t}.conv1", f + ("conv1",))
+        _convert_conv(sd, params, f"{t}.conv2", f + ("conv2",))
+        _convert_bn(sd, params, stats, f"{t}.bn1", f + ("bn1",))
+        _convert_bn(sd, params, stats, f"{t}.bn2", f + ("bn2",))
+    for i in range(1, 6):
+        t, f = f"up_block{i}", (f"up_block{i}",)
+        _convert_conv(sd, params, f"{t}.conv1", f + ("conv1",))
+        _convert_bn(sd, params, stats, f"{t}.bn1", f + ("bn1",))
+        if i < 5:  # up_block5's conv2/bn2 are dead in the reference
+            _convert_conv(sd, params, f"{t}.conv2", f + ("conv2",))
+            _convert_bn(sd, params, stats, f"{t}.bn2", f + ("bn2",))
+    _convert_conv(sd, params, "conv1", ("conv1",))
+    return {"params": params, "batch_stats": stats}
+
+
+def ritnet_concat_torch_to_flax(state_dict):
+    """Reference RITnet_concat (models/RITnet_concat.py:182-260) ->
+    RITnetConcat variables (shared v2-style encoder + dual-skip decoder)."""
+    sd = _as_numpy(strip_module_prefix(state_dict))
+    params: dict = {}
+    stats: dict = {}
+    _convert_conv_block(sd, params, stats, "enc.head", ("enc", "head"))
+    for i in range(1, 5):
+        _convert_down_block(sd, params, f"enc.down_block{i}",
+                            ("enc", f"down_block{i}"))
+    _convert_down_block(sd, params, "enc.bottleneck", ("enc", "bottleneck"))
+    for i in (4, 3, 2, 1):
+        _convert_up_block(sd, params, f"dec.up_block{i}", (f"up_block{i}",))
+    _convert_conv_block(sd, params, stats, "dec.final", ("final",))
+    _convert_conv(sd, params, "elReg.c1", ("elReg", "c1"))
+    _convert_conv(sd, params, "elReg.c2", ("elReg", "c2"))
+    _convert_conv(sd, params, "elReg.c3", ("elReg", "c3"), bias=False)
+    _convert_linear(sd, params, "elReg.l1", ("elReg", "l1"))
+    _convert_linear(sd, params, "elReg.l2", ("elReg", "l2"))
+    return {"params": params, "batch_stats": stats}

@@ -104,3 +104,96 @@ class TestRITnetConcat:
         op, el_out, latent = model.apply(variables, x, e, train=False)
         assert op.shape == (2, 176, 192, 3)
         assert el_out.shape == (2, 10)
+
+
+NHWC = lambda a: np.transpose(np.asarray(a), (0, 2, 3, 1))
+
+
+def _close(a, b, rel=1e-3):
+    # scale-aware tolerance (see test_esfnet_parity): random-init activation
+    # magnitudes grow with depth, so agreement is relative to the output scale
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=rel,
+                               atol=rel * np.abs(np.asarray(b)).max() + 1e-6)
+
+
+class TestNumericParity:
+    """Random-weight forward parity through the checkpoint converters."""
+
+    def test_ritnet_v1_forward_parity(self):
+        ref = import_reference("models.RITnet_v1")
+        from eghmd_tpu.utils.torch_convert import ritnet_v1_torch_to_flax
+
+        torch.manual_seed(3)
+        tm = ref.DenseNet2D()
+        tm.eval()
+        B, H, W = 2, 240, 320
+        rng = np.random.RandomState(0)
+        img = rng.rand(B, 1, H, W).astype(np.float32)
+        target = torch.from_numpy(rng.randint(0, 3, (B, H, W)).astype(np.int64))
+        with torch.no_grad():
+            op, el_pred, latent, loss, el_out = tm(
+                torch.from_numpy(img), torch.from_numpy(img), target,
+                torch.zeros(B, 2), torch.zeros(B, 2, 5), torch.zeros(B, H, W),
+                torch.zeros(B, 3, H, W), torch.zeros(B, 4),
+                torch.zeros(B, dtype=torch.long), 0.5)
+
+        variables = jax.tree.map(jnp.asarray, ritnet_v1_torch_to_flax(tm.state_dict()))
+        x = jnp.asarray(np.transpose(img, (0, 2, 3, 1)))
+        op_f, el_f, lat_f = RITnetV1().apply(variables, x, x, train=False)
+        _close(np.asarray(op_f), NHWC(op.numpy()))
+        _close(np.asarray(el_f), el_out.numpy())
+
+    def test_deepvog_forward_parity(self):
+        ref = import_reference("models.deepvog_pytorch")
+        from eghmd_tpu.utils.torch_convert import deepvog_torch_to_flax
+
+        torch.manual_seed(4)
+        tm = ref.DeepVOG_pytorch()
+        tm.eval()
+        B, H, W = 2, 240, 320
+        rng = np.random.RandomState(1)
+        img = rng.rand(B, 1, H, W).astype(np.float32)
+        target = torch.from_numpy(rng.randint(0, 3, (B, H, W)).astype(np.int64))
+        with torch.no_grad():
+            out, el_pred, emb, loss, _ = tm(
+                torch.from_numpy(img), torch.from_numpy(img), target,
+                torch.zeros(B, 2), torch.zeros(B, 2, 5), torch.zeros(B, H, W),
+                torch.zeros(B, 3, H, W), torch.zeros(B, 4),
+                torch.zeros(B, dtype=torch.long), 0.5)
+
+        variables = jax.tree.map(jnp.asarray, deepvog_torch_to_flax(tm.state_dict()))
+        x = jnp.asarray(np.transpose(img, (0, 2, 3, 1)))
+        op_f, _, _ = DeepVOG().apply(variables, x, x, train=False)
+        _close(np.asarray(op_f), NHWC(out.numpy()))
+
+    def test_ritnet_concat_forward_parity(self):
+        ref = import_reference("models.RITnet_concat")
+        from eghmd_tpu.utils.torch_convert import ritnet_concat_torch_to_flax
+
+        setting = {"add_seg": 0, "seg_detach": 0, "add_edge": 1,
+                   "edge_thres": 0, "add_selayer": 0, "generate_eyeball": 0,
+                   "feature_channels": 153, "style_dim": 8,
+                   "input_concat": 0, "only_edge": 0}
+        torch.manual_seed(5)
+        tm = ref.DenseNet2D(setting)
+        tm.eval()
+        B, H, W = 2, 240, 320
+        rng = np.random.RandomState(2)
+        img = rng.rand(B, 1, H, W).astype(np.float32)
+        edge = rng.rand(B, 1, H, W).astype(np.float32)
+        target = torch.from_numpy(rng.randint(0, 3, (B, H, W)).astype(np.int64))
+        with torch.no_grad():
+            op, el_pred, latent, loss, el_out = tm(
+                torch.from_numpy(img), torch.from_numpy(edge), target,
+                torch.zeros(B, 2), torch.zeros(B, 2, 5), torch.zeros(B, H, W),
+                torch.zeros(B, 3, H, W), torch.zeros(B, 4),
+                torch.zeros(B, dtype=torch.long), 0.5)
+
+        variables = jax.tree.map(jnp.asarray,
+                                 ritnet_concat_torch_to_flax(tm.state_dict()))
+        x = jnp.asarray(np.transpose(img, (0, 2, 3, 1)))
+        e = jnp.asarray(np.transpose(edge, (0, 2, 3, 1)))
+        op_f, el_f, lat_f = RITnetConcat().apply(variables, x, e, train=False)
+        _close(np.asarray(op_f), NHWC(op.numpy()))
+        _close(np.asarray(el_f), el_out.numpy())
+        _close(np.asarray(lat_f), latent.numpy())
