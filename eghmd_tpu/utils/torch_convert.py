@@ -239,3 +239,83 @@ def ritnet_concat_torch_to_flax(state_dict):
     _convert_linear(sd, params, "elReg.l1", ("elReg", "l1"))
     _convert_linear(sd, params, "elReg.l2", ("elReg", "l2"))
     return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# Inverse direction: flax -> reference torch state_dict (export trained TPU
+# weights for the reference's drivers / tooling)
+# ---------------------------------------------------------------------------
+
+
+def _get(tree, path):
+    node = tree
+    for p in path:
+        node = node[p]
+    return np.asarray(node)
+
+
+def _export_conv(params, out, fpath, tname, bias=True):
+    out[tname + ".weight"] = np.transpose(_get(params, fpath + ("kernel",)),
+                                          (3, 2, 0, 1))
+    if bias:
+        out[tname + ".bias"] = _get(params, fpath + ("bias",))
+
+
+def _export_linear(params, out, fpath, tname):
+    out[tname + ".weight"] = _get(params, fpath + ("kernel",)).T
+    out[tname + ".bias"] = _get(params, fpath + ("bias",))
+
+
+def _export_bn(params, stats, out, fpath, tname):
+    out[tname + ".weight"] = _get(params, fpath + ("scale",))
+    out[tname + ".bias"] = _get(params, fpath + ("bias",))
+    out[tname + ".running_mean"] = _get(stats, fpath + ("mean",))
+    out[tname + ".running_var"] = _get(stats, fpath + ("var",))
+    out[tname + ".num_batches_tracked"] = np.asarray(0, np.int64)
+
+
+def esfnet_flax_to_torch(variables, setting):
+    """ESFNet variables -> a reference-layout state_dict ({name: np.ndarray})
+    loadable by the reference DenseNet2D (wrap values in torch tensors). The
+    exact inverse of :func:`esfnet_torch_to_flax` (round-trip tested)."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    out: Dict[str, np.ndarray] = {}
+
+    def conv_block(fprefix, tprefix):
+        _export_conv(params, out, fprefix + ("conv1",), tprefix + ".conv1")
+        _export_conv(params, out, fprefix + ("conv2",), tprefix + ".conv2")
+        _export_bn(params, stats, out, fprefix + ("bn",), tprefix + ".bn")
+
+    def down_block(fprefix, tprefix):
+        for name in ("conv1", "conv21", "conv22", "conv31", "conv32"):
+            _export_conv(params, out, fprefix + (name,), f"{tprefix}.{name}")
+        _export_conv(params, out, fprefix + ("td_conv",), tprefix + ".TD.conv")
+
+    def up_block(fprefix, tprefix):
+        for name in ("conv11", "conv12", "conv21", "conv22"):
+            _export_conv(params, out, fprefix + (name,), f"{tprefix}.{name}")
+
+    conv_block(("enc", "head"), "enc.head")
+    for i in range(1, 5):
+        down_block(("enc", f"down_block{i}"), f"enc.down_block{i}")
+    down_block(("enc", "bottleneck"), "enc.bottleneck")
+    for i in (4, 3, 2, 1):
+        up_block(("dec", f"up_block{i}"), f"dec.up_block{i}")
+    conv_block(("dec", "final"), "dec.final")
+
+    _export_conv(params, out, ("elReg", "c1"), "elReg.c1")
+    _export_conv(params, out, ("elReg", "c2"), "elReg.c2")
+    _export_conv(params, out, ("elReg", "c3"), "elReg.c3", bias=False)
+    _export_linear(params, out, ("elReg", "l1"), "elReg.l1")
+    _export_linear(params, out, ("elReg", "l2"), "elReg.l2")
+
+    if getattr(setting, "add_seg", 0):
+        for i in range(5):
+            _export_conv(params, out, ("seg_encoder", f"conv{i}"),
+                         f"seg_encoder.model.{i}.conv")
+        _export_conv(params, out, ("seg_encoder", "conv_out"),
+                     "seg_encoder.model.6")
+        for i in range(3):
+            _export_linear(params, out, ("mlp", f"fc{i}"), f"mlp.model.{i}.fc")
+    return out

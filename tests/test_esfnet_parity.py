@@ -150,3 +150,31 @@ class TestFastSegMode:
         c_f = np.asarray(seg_centers(op_f))
         c_q = np.asarray(seg_centers(op_q))
         assert np.max(np.abs(c_f - c_q)) < 0.15, np.max(np.abs(c_f - c_q))
+
+
+def test_flax_to_torch_round_trip():
+    """esfnet_flax_to_torch is the exact inverse of esfnet_torch_to_flax, and
+    the exported dict loads into the reference model (strict except BN
+    bookkeeping counters)."""
+    import torch
+
+    from eghmd_tpu.utils.torch_convert import (esfnet_flax_to_torch,
+                                               esfnet_torch_to_flax)
+
+    ref_mod = import_reference("models.RITnet_v2")
+    variant = VARIANT_PRESETS["baseline_adain_edge"]
+    torch.manual_seed(11)
+    tm = ref_mod.DenseNet2D(_reference_setting(variant))
+    sd = tm.state_dict()
+
+    variables = esfnet_torch_to_flax(sd, variant)
+    back = esfnet_flax_to_torch(variables, variant)
+    for k, v in back.items():
+        if k.endswith("num_batches_tracked"):
+            continue
+        np.testing.assert_array_equal(v, sd[k].numpy(), err_msg=k)
+    # the exported dict must load cleanly into the reference module
+    missing, unexpected = tm.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in back.items()},
+        strict=False)
+    assert not unexpected, unexpected
