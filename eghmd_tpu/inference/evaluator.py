@@ -51,6 +51,13 @@ class Evaluator:
             op, el_out, latent = model.apply(
                 variables, batch["image"], edge, train=False
             )
+            if pupil_only and op.shape[-1] == 2:
+                # DeepVOG emits 2-channel (bg/pupil) logits: pad an
+                # unreachable iris channel so the 3-class consumers work
+                # (the reference remaps labels instead, test.py:157-158)
+                from ..training.trainer import _pad_pupil_only_op
+
+                op = _pad_pupil_only_op(op)
             out = compute_all_losses(
                 op, el_out, batch["target"], batch["pupil_center"],
                 batch["el_norm"], batch["spat_weights"], batch["dist_map"],

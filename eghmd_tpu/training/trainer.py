@@ -27,6 +27,7 @@ import optax
 from ..config import ExperimentConfig
 from ..losses import compute_all_losses, conf_loss, el_pred_from_seg_centers
 from ..losses.point import self_consistency_loss
+from ..losses.total import LossOutputs
 from ..metrics import seg_iou_metrics, point_metric, angle_metric
 from ..geometry.points import unnorm_pts
 from ..parallel import make_mesh, replicated_sharding
@@ -79,14 +80,25 @@ def batch_metrics(op, el_out, pred_c_seg, batch):
     }
 
 
+def _pad_pupil_only_op(op):
+    """DeepVOG emits 2-channel (bg/pupil) logits; pad an unreachable iris
+    channel so every 3-class consumer (argmax labels {0, 2}, soft-argmax of
+    op[..., 2]) works unchanged (the reference remaps labels instead,
+    test.py:157-158)."""
+    neg = jnp.full_like(op[..., :1], -1e4)
+    return jnp.concatenate([op[..., :1], neg, op[..., 1:]], axis=-1)
+
+
 def make_train_step(model, ds_head_apply, tx, ds_tx, edge_fn=None,
                     edge_thres=False, self_corr=False, disentangle=True,
-                    train_ds_head=True, donate=True):
+                    train_ds_head=True, donate=True, loss_mode="full"):
     """Build the jitted global-view train step.
 
     model: flax ESFNet-like module (apply(x, edge, train) -> op, el_out, latent)
     ds_head_apply: fn(ds_params, latent) -> logits
     edge_fn: optional fn(image[B,H,W,1]) -> edge[B,H,W,1] (frozen, fused in)
+    loss_mode: 'full' (reference get_allLoss) or 'deepvog' (the DeepVOG
+        baseline's own CE+seg2pt loss, reference deepvog_pytorch.py:151-168)
     """
 
     def loss_fn(params, batch_stats, ds_params, batch, edge, alpha):
@@ -94,6 +106,19 @@ def make_train_step(model, ds_head_apply, tx, ds_tx, edge_fn=None,
             {"params": params, "batch_stats": batch_stats},
             batch["image"], edge, train=True, mutable=["batch_stats"],
         )
+        if loss_mode == "deepvog":
+            from ..models import deepvog_loss
+
+            loss, pred_c = deepvog_loss(op, batch["target"],
+                                        batch["pupil_center"], batch["cond"])
+            op = _pad_pupil_only_op(op)
+            z = jnp.zeros(())
+            out = LossOutputs(loss, jnp.stack([pred_c, pred_c], axis=1),
+                              z, z, z, z)
+            if disentangle:
+                logits = ds_head_apply(ds_params, latent)
+                loss = loss + 2.0 * conf_loss(logits, batch["im_info"][:, 2], True)
+            return loss, (mut["batch_stats"], op, el_out, latent, out)
         out = compute_all_losses(
             op, el_out, batch["target"], batch["pupil_center"], batch["el_norm"],
             batch["spat_weights"], batch["dist_map"], batch["cond"], alpha,
@@ -139,7 +164,7 @@ def make_train_step(model, ds_head_apply, tx, ds_tx, edge_fn=None,
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, edge_fn=None, edge_thres=False):
+def make_eval_step(model, edge_fn=None, edge_thres=False, loss_mode="full"):
     """Jitted eval step: forward + loss(alpha) + on-device metrics."""
 
     def eval_step(params, batch_stats, batch, alpha):
@@ -149,6 +174,19 @@ def make_eval_step(model, edge_fn=None, edge_thres=False):
             {"params": params, "batch_stats": batch_stats},
             batch["image"], edge, train=False,
         )
+        if loss_mode == "deepvog":
+            from ..models import deepvog_loss
+
+            loss, pred_c = deepvog_loss(op, batch["target"],
+                                        batch["pupil_center"], batch["cond"])
+            op = _pad_pupil_only_op(op)
+            z = jnp.zeros(())
+            out = LossOutputs(loss, jnp.stack([pred_c, pred_c], axis=1),
+                              z, z, z, z)
+            metrics = batch_metrics(op, el_out, out.pred_c_seg, batch)
+            metrics["loss"] = loss
+            el_pred = el_pred_from_seg_centers(out.pred_c_seg, el_out)
+            return metrics, (op, el_out, el_pred, latent)
         out = compute_all_losses(
             op, el_out, batch["target"], batch["pupil_center"], batch["el_norm"],
             batch["spat_weights"], batch["dist_map"], batch["cond"], alpha,
@@ -185,6 +223,7 @@ class Trainer:
         self.plateau = ReduceLROnPlateau(lr=cfg.lr, patience=5, factor=0.1)
         self.early = EarlyStopping(patience=10, delta=1e-3)
         variant = cfg.variant
+        loss_mode = "deepvog" if cfg.model == "deepvog" else "full"
         self.train_step = make_train_step(
             self.model,
             self._ds_apply,
@@ -195,10 +234,12 @@ class Trainer:
             self_corr=cfg.self_corr,
             disentangle=cfg.disentangle,
             donate=cfg.donate_state,
+            loss_mode=loss_mode,
         )
         self.eval_step = make_eval_step(
             self.model, edge_fn=self.edge_fn,
             edge_thres=bool(variant.edge_thres or cfg.edge_thres),
+            loss_mode=loss_mode,
         )
 
     def _ds_apply(self, ds_params, latent):

@@ -197,3 +197,30 @@ class TestNumericParity:
         _close(np.asarray(op_f), NHWC(op.numpy()))
         _close(np.asarray(el_f), el_out.numpy())
         _close(np.asarray(lat_f), latent.numpy())
+
+
+class TestDeepVOGIntegration:
+    """DeepVOG trains and evaluates through the generic drivers via its own
+    loss (the generic 3-class loss cannot consume its 2-channel logits)."""
+
+    @pytest.mark.slow  # compiles a trainer on the 1-CPU mesh
+    def test_train_step_and_eval(self):
+        from eghmd_tpu.config import ExperimentConfig
+        from eghmd_tpu.data import SyntheticEyeDataset, DataPipeline
+        from eghmd_tpu.parallel import make_mesh, batch_sharding
+        from eghmd_tpu.training import Trainer
+
+        cfg = ExperimentConfig(model="deepvog", setting="baseline", epochs=1,
+                               batchsize=8, image_size=(176, 192),
+                               disentangle=False)
+        trainer = Trainer(cfg, DeepVOG(), log_fn=None)
+        mesh = make_mesh()
+        ds = SyntheticEyeDataset(8, (176, 192), seed=5)
+        pipe = DataPipeline(ds, 8, sharding=batch_sharding(mesh),
+                            shuffle=False, num_workers=2)
+        b = next(iter(pipe))
+        state = trainer.init_state(b)
+        state, m = trainer.train_step(state, b, 0.5)
+        assert np.isfinite(float(m["loss"]))
+        ev, _ = trainer.eval_step(state.params, state.batch_stats, b, 0.0)
+        assert np.isfinite(float(ev["loss"]))
