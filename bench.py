@@ -26,8 +26,9 @@ import jax.numpy as jnp
 
 
 def build_pipeline(dtype=jnp.bfloat16, batch_frames=32, refine=False,
-                   edge_downscale=1, seg_downscale=1):
-    from eghmd_tpu.config import VARIANT_PRESETS
+                   edge_downscale=1, seg_downscale=1,
+                   setting="baseline_edge", chz=32, growth=1.2):
+    from eghmd_tpu.config import VARIANT_PRESETS, scaled_variant
     from eghmd_tpu.models import ESFNet
     from eghmd_tpu.models.bdcn import BDCN, edge_input_dims, make_edge_fn
     from eghmd_tpu.inference.preprocess import preprocess_frames
@@ -36,7 +37,11 @@ def build_pipeline(dtype=jnp.bfloat16, batch_frames=32, refine=False,
     from eghmd_tpu.ops import refine_ellipse_batch, seg_centers
 
     rng = jax.random.PRNGKey(0)
-    model = ESFNet(setting=VARIANT_PRESETS["baseline_edge"], dtype=dtype,
+    variant = VARIANT_PRESETS[setting]
+    if chz != 32 or growth != 1.2:
+        # width-scaled serving student (training/distill.py)
+        variant = scaled_variant(variant, chz, growth)
+    model = ESFNet(setting=variant, dtype=dtype, chz=chz, growth=growth,
                    seg_downscale=seg_downscale)
     x0 = jnp.zeros((1, 240, 320, 1), jnp.float32)
     # jit the inits: eager flax init dispatches each conv separately (minutes
@@ -75,13 +80,25 @@ def build_pipeline(dtype=jnp.bfloat16, batch_frames=32, refine=False,
     return jitted, variables, bdcn_vars, frames
 
 
+def _fence(out):
+    """Reliable execution fence: pull one tiny slice of the last output to
+    host. On this image's experimental 'axon' TPU tunnel,
+    ``jax.block_until_ready`` can return before the program has actually
+    executed (measured: a step that really takes ~60 ms "completes" in
+    ~0.8 ms under block_until_ready, while a trailing host transfer reports
+    the HBM-roofline-consistent time). Device execution is FIFO, so fencing
+    the final step fences the whole timed window without serializing it."""
+    leaf = jax.tree.leaves(out)[-1]
+    np.asarray(leaf[(0,) * leaf.ndim])
+
+
 def measure(jitted, variables, bdcn_vars, frames, iters=30, warmup=3):
     for _ in range(warmup):
-        jax.block_until_ready(jitted(variables, bdcn_vars, frames))
+        _fence(jitted(variables, bdcn_vars, frames))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = jitted(variables, bdcn_vars, frames)
-    jax.block_until_ready(out)
+    _fence(out)
     dt = time.perf_counter() - t0
     return frames.shape[0] * iters / dt
 
@@ -104,10 +121,12 @@ def cost_analysis(jitted, variables, bdcn_vars, frames):
 
 
 def run_one(dtype, batch_frames, refine, edge_downscale, seg_downscale,
-            iters, analyze=False):
+            iters, analyze=False, setting="baseline_edge", chz=32,
+            growth=1.2):
     jitted, variables, bdcn_vars, frames = build_pipeline(
         dtype=dtype, batch_frames=batch_frames, refine=refine,
         edge_downscale=edge_downscale, seg_downscale=seg_downscale,
+        setting=setting, chz=chz, growth=growth,
     )
     fps = measure(jitted, variables, bdcn_vars, frames, iters=iters)
     extras = cost_analysis(jitted, variables, bdcn_vars, frames) if analyze else {}
@@ -131,6 +150,14 @@ def main():
     p.add_argument("--seg-downscale", type=int, default=2,
                    help="fast-seg factor: decode the seg map at 1/N res "
                         "(1 = full-resolution decoder)")
+    p.add_argument("--setting", default="baseline_edge",
+                   help="fusion variant; 'baseline_input_concat' is the "
+                        "single-encoder-pass student shape")
+    p.add_argument("--chz", type=int, default=32,
+                   help="model width (32 = the reference/parity model; "
+                        "<32 = a distilled serving student, see "
+                        "training/distill.py — must pass its fidelity gate)")
+    p.add_argument("--growth", type=float, default=1.2)
     args = p.parse_args()
 
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
@@ -143,7 +170,9 @@ def main():
     for bs in candidates:
         try:
             fps, _ = run_one(dtype, bs, args.refine, args.edge_downscale,
-                             args.seg_downscale, iters=max(10, args.iters // 3))
+                             args.seg_downscale, iters=max(10, args.iters // 3),
+                             setting=args.setting, chz=args.chz,
+                             growth=args.growth)
         except Exception as e:
             print(f"batch {bs}: failed ({type(e).__name__}); stopping sweep",
                   file=sys.stderr)
@@ -153,7 +182,9 @@ def main():
             best_fps, best_bs = fps, bs
 
     fps, extras = run_one(dtype, best_bs, args.refine, args.edge_downscale,
-                          args.seg_downscale, iters=args.iters, analyze=True)
+                          args.seg_downscale, iters=args.iters, analyze=True,
+                          setting=args.setting, chz=args.chz,
+                          growth=args.growth)
     fps = max(fps, best_fps)
 
     if extras.get("gflops_per_frame"):
@@ -179,6 +210,8 @@ def main():
         "batch_frames": best_bs,
         "edge_downscale": args.edge_downscale,
         "seg_downscale": args.seg_downscale,
+        "setting": args.setting,
+        "chz": args.chz,
         **extras,
     }))
 

@@ -1,0 +1,167 @@
+#!/usr/bin/env python3
+"""Distill a compact serving student from a flagship teacher.
+
+The serving step is HBM-bandwidth-bound (BASELINE.md), so serving faster
+requires a smaller model. This driver trains a width-scaled student — by
+default the reference's own cheaper ``input_concat`` fusion variant
+(one encoder pass, reference models/RITnet_v2.py:279-280) at chz=16 —
+to reproduce a ``baseline_edge`` teacher, and prints the acceptance gate
+(student-vs-teacher agreement + GT mIoU drop) at the end.
+
+Examples:
+    # smoke run on synthetic data with a briefly-trained teacher checkpoint
+    python cli/distill.py --synthetic 64 --epochs 5 \
+        --teacher_ckpt logs/ritnet_v2/dev/checkpoints --chz 16
+
+    # pure-distillation from a converted reference checkpoint
+    python cli/distill.py --teacher_ckpt ref_weights.pkl --w_gt 0
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cli.args import build_datasets, build_edge_fn
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    # teacher
+    p.add_argument("--teacher_ckpt", type=str, default="random",
+                   help="orbax checkpoint dir (train CLI output), a torch "
+                        "reference .pkl, or 'random' (smoke runs)")
+    p.add_argument("--teacher_setting", type=str, default="baseline_edge")
+    p.add_argument("--teacher_chz", type=int, default=32)
+    p.add_argument("--teacher_growth", type=float, default=1.2)
+    # student
+    p.add_argument("--setting", type=str, default="baseline_input_concat",
+                   help="student fusion variant (default: the reference's "
+                        "single-encoder-pass input_concat variant)")
+    p.add_argument("--chz", type=int, default=16, help="student width")
+    p.add_argument("--growth", type=float, default=1.2)
+    # distillation
+    p.add_argument("--temperature", type=float, default=4.0)
+    p.add_argument("--w_seg", type=float, default=20.0)
+    p.add_argument("--w_el", type=float, default=10.0)
+    p.add_argument("--w_gt", type=float, default=1.0,
+                   help="ground-truth loss mix-in weight (0 = pure KD)")
+    p.add_argument("--max_miou_drop", type=float, default=0.02)
+    p.add_argument("--min_agreement", type=float, default=0.90)
+    # run
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--prec", type=int, default=32)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--batchsize", type=int, default=8)
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--expname", type=str, default="distill")
+    p.add_argument("--log_dir", type=str, default="logs")
+    p.add_argument("--mesh", type=int, default=0)
+    # data (same resolution flags as cli/train.py)
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--curObj", type=str, default="synthetic")
+    p.add_argument("--path2data", type=str, default="")
+    p.add_argument("--test_mode", type=str, default="leaveoneout")
+    p.add_argument("--image_height", type=int, default=240)
+    p.add_argument("--image_width", type=int, default=320)
+    p.add_argument("--bdcn_weights", type=str, default="")
+    p.add_argument("--edge_downscale", type=int, default=1)
+    p.add_argument("--edge_thres", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def load_teacher_vars(path, teacher, variant, image_size):
+    """Teacher variables from an orbax dir, a torch .pkl, or random init."""
+    import jax
+    import jax.numpy as jnp
+
+    if path == "random":
+        h, w = image_size
+        x0 = jnp.zeros((1, h, w, 1), jnp.float32)
+        return jax.jit(lambda r, a, b: teacher.init(r, a, b, train=False))(
+            jax.random.PRNGKey(7), x0, x0)
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        entries = set(os.listdir(path))
+        if "best" in entries:
+            path = os.path.join(path, "best")
+        elif any(e.startswith("epoch_") for e in entries):
+            last = max(int(e.split("_")[1]) for e in entries
+                       if e.startswith("epoch_"))
+            path = os.path.join(path, f"epoch_{last}")
+        raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        return jax.tree.map(jnp.asarray, {
+            "params": raw["params"], "batch_stats": raw.get("batch_stats", {})})
+    from eghmd_tpu.utils.torch_convert import load_reference_esfnet_checkpoint
+
+    return jax.tree.map(
+        jnp.asarray, load_reference_esfnet_checkpoint(path, variant))
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import json
+
+    from eghmd_tpu.config import (ExperimentConfig, resolve_variant,
+                                  scaled_variant)
+    from eghmd_tpu.data import DataPipeline
+    from eghmd_tpu.models import build_model
+    from eghmd_tpu.parallel import batch_sharding
+    from eghmd_tpu.training import (DistillConfig, DistillTrainer,
+                                    distill_gate, evaluate_fidelity)
+    from eghmd_tpu.training.checkpoints import CheckpointManager
+
+    cfg = ExperimentConfig(
+        lr=args.lr, prec={16: "bfloat16", 32: "float32"}[args.prec],
+        epochs=args.epochs, batchsize=args.batchsize, workers=args.workers,
+        setting=args.setting, edge_thres=args.edge_thres,
+        edge_downscale=args.edge_downscale,
+        image_size=(args.image_height, args.image_width),
+        log_dir=args.log_dir,
+        mesh_shape=(args.mesh,) if args.mesh else None,
+    )
+
+    t_variant = resolve_variant(args.teacher_setting)
+    if args.teacher_chz != 32 or args.teacher_growth != 1.2:
+        t_variant = scaled_variant(t_variant, args.teacher_chz,
+                                   args.teacher_growth)
+    s_variant = scaled_variant(resolve_variant(args.setting), args.chz,
+                               args.growth)
+    teacher = build_model("ritnet_v2", t_variant, cfg.dtype,
+                          chz=args.teacher_chz, growth=args.teacher_growth)
+    student = build_model("ritnet_v2", s_variant, cfg.dtype,
+                          chz=args.chz, growth=args.growth)
+    teacher_vars = load_teacher_vars(args.teacher_ckpt, teacher, t_variant,
+                                     cfg.image_size)
+
+    train_ds, valid_ds, _ = build_datasets(args)
+    trainer = DistillTrainer(
+        cfg, student, teacher, teacher_vars,
+        distill=DistillConfig(args.temperature, args.w_seg, args.w_el,
+                              args.w_gt),
+        edge_fn=build_edge_fn(args, cfg.dtype),
+    )
+    sharding = batch_sharding(trainer.mesh)
+    train_pipe = DataPipeline(train_ds, cfg.batchsize, sharding=sharding,
+                              shuffle=True, num_workers=cfg.workers)
+    valid_pipe = DataPipeline(valid_ds, cfg.batchsize, sharding=sharding,
+                              shuffle=False, num_workers=cfg.workers)
+
+    log_dir = os.path.join(cfg.log_dir, "distill", args.expname)
+    ckpt = CheckpointManager(os.path.join(log_dir, "checkpoints"))
+    state, history = trainer.fit(train_pipe, valid_pipe, checkpointer=ckpt)
+
+    fid = evaluate_fidelity(trainer.fidelity_step, state, trainer.teacher_vars,
+                            valid_pipe)
+    accepted = distill_gate(fid, args.max_miou_drop, args.min_agreement)
+    print(json.dumps({"student_chz": args.chz, "student_setting": args.setting,
+                      **{k: round(v, 4) for k, v in fid.items()},
+                      "accepted": bool(accepted)}))
+    return fid, accepted
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,18 @@ VARIANT_PRESETS = {
 }
 
 
+def scaled_variant(base: VariantConfig, chz: int, growth: float = 1.2) -> VariantConfig:
+    """Variant config for a width-scaled (pruned/distilled student) ESF-Net.
+
+    The reference hard-codes ``feature_channels: 153`` because its encoder is
+    fixed at chz=32, growth=1.2 (reference models/RITnet_v2.py:15-29, where
+    the bottleneck width is int(growth*chz*4)). A student model with a
+    different width needs the bottleneck-derived fields rescaled so the AdaIN
+    MLP and the dsIdentify head are sized to the student's latent.
+    """
+    return dataclasses.replace(base, feature_channels=int(growth * chz * 4))
+
+
 def variant_from_yaml(path: str) -> VariantConfig:
     """Load a reference-format YAML variant config."""
     import yaml

@@ -1,0 +1,298 @@
+"""Knowledge distillation: train a small serving student from a teacher.
+
+The serving step is HBM-bandwidth-bound at ~600 GB/s on one v5e chip
+(BASELINE.md roofline), so past the fast-edge/fast-seg modes the only
+remaining throughput lever is cutting model FLOPs/bytes — i.e. a narrower
+student network. This module provides that as a first-class subsystem:
+
+  * the teacher is the flagship ESF-Net (``baseline_edge``: shared encoder
+    run twice, bottlenecks concatenated — reference models/RITnet_v2.py:283-287);
+  * the default student is the reference's OWN cheaper fusion variant
+    ``input_concat`` (2-channel input, ONE encoder pass — reference
+    models/RITnet_v2.py:279-280) at a reduced width ``chz`` (the reference
+    fixes chz=32, growth=1.2 at models/RITnet_v2.py:204-210; width is a free
+    knob of our rebuild);
+  * distillation loss = pixelwise KL from the teacher's tempered seg
+    posterior + L1 on the regressed ellipse params, optionally mixed with
+    the reference's full ground-truth loss (get_allLoss semantics,
+    models/RITnet_v2.py:372-432) when labels exist;
+  * acceptance is gated: :func:`evaluate_fidelity` reports the student's
+    seg agreement (mIoU of student argmax vs teacher argmax) and both
+    models' GT metrics side by side, and :func:`distill_gate` enforces a
+    maximum mIoU drop before a student is allowed to serve.
+
+Everything runs as ONE jitted computation per step (teacher forward +
+student forward/backward + optimizer update + agreement metrics), batch
+sharded over the data mesh like the main Trainer.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import ExperimentConfig
+from ..losses import compute_all_losses
+from ..metrics import seg_iou_metrics
+from ..parallel import make_mesh, replicated_sharding
+from .schedule import EarlyStopping, ReduceLROnPlateau
+from .trainer import TrainState, _apply_edge_threshold, batch_metrics
+
+
+@dataclass(frozen=True)
+class DistillConfig:
+    """Distillation hyper-parameters.
+
+    temperature: softmax temperature for the seg KD term (Hinton-style;
+        gradients are rescaled by T^2 so the KD magnitude is T-invariant).
+    w_seg / w_el: weights of the seg-KL and ellipse-L1 fidelity terms.
+    w_gt: weight of the full ground-truth loss (0 = pure distillation;
+        >0 = mixed, requires labelled batches).
+    """
+
+    temperature: float = 4.0
+    w_seg: float = 20.0
+    w_el: float = 10.0
+    w_gt: float = 0.0
+
+
+def make_distill_step(student, teacher, tx, distill: DistillConfig,
+                      edge_fn=None, edge_thres=False, donate=True):
+    """Build the jitted distillation step.
+
+    student / teacher: flax modules with ``apply(vars, img, edge, train)``
+        returning ``(op, el_out, latent)`` (latent widths may differ).
+    Teacher variables are a step argument (frozen; never updated).
+    """
+
+    T = float(distill.temperature)
+
+    def loss_fn(params, batch_stats, teacher_vars, batch, edge, alpha):
+        (op_s, el_s, _), mut = student.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"], edge, train=True, mutable=["batch_stats"],
+        )
+        op_t, el_t, _ = teacher.apply(teacher_vars, batch["image"], edge,
+                                      train=False)
+        op_t = jax.lax.stop_gradient(op_t.astype(jnp.float32))
+        el_t = jax.lax.stop_gradient(el_t.astype(jnp.float32))
+        op_s32 = op_s.astype(jnp.float32)
+
+        p_t = jax.nn.softmax(op_t / T, axis=-1)
+        logp_s = jax.nn.log_softmax(op_s32 / T, axis=-1)
+        kd_seg = jnp.mean(
+            jnp.sum(p_t * (jnp.log(p_t + 1e-12) - logp_s), axis=-1)) * T * T
+        kd_el = jnp.mean(jnp.abs(el_s.astype(jnp.float32) - el_t))
+        loss = distill.w_seg * kd_seg + distill.w_el * kd_el
+        aux = {"kd_seg": kd_seg, "kd_el": kd_el}
+        if distill.w_gt:
+            out = compute_all_losses(
+                op_s, el_s, batch["target"], batch["pupil_center"],
+                batch["el_norm"], batch["spat_weights"], batch["dist_map"],
+                batch["cond"], alpha,
+            )
+            loss = loss + distill.w_gt * out.total
+            aux["gt_loss"] = out.total
+        return loss, (mut["batch_stats"], op_s, op_t, aux)
+
+    def distill_step(state: TrainState, teacher_vars, batch, alpha):
+        edge = batch["edge"] if edge_fn is None else edge_fn(batch["image"])
+        edge = jax.lax.stop_gradient(_apply_edge_threshold(edge, edge_thres))
+        (loss, (new_bs, op_s, op_t, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, teacher_vars, batch, edge, alpha)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        # fidelity metric: how much of the teacher's segmentation the
+        # student reproduces (mIoU of argmax maps; all samples valid)
+        agree, _, _ = seg_iou_metrics(
+            jnp.argmax(op_t, axis=-1), jnp.argmax(op_s, axis=-1),
+            jnp.zeros((op_s.shape[0],), op_s.dtype))
+        metrics = {"loss": loss, "agreement_miou": agree, **aux}
+        new_state = TrainState(new_params, new_bs, new_opt, state.ds_params,
+                               state.ds_opt_state, state.step + 1)
+        return new_state, metrics
+
+    return jax.jit(distill_step, donate_argnums=(0,) if donate else ())
+
+
+def make_fidelity_step(student, teacher, edge_fn=None, edge_thres=False):
+    """Jitted eval: student-vs-teacher agreement + both models' GT metrics."""
+
+    def fidelity_step(params, batch_stats, teacher_vars, batch):
+        edge = batch["edge"] if edge_fn is None else edge_fn(batch["image"])
+        edge = _apply_edge_threshold(edge, edge_thres)
+        op_s, el_s, _ = student.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["image"], edge, train=False)
+        op_t, el_t, _ = teacher.apply(teacher_vars, batch["image"], edge,
+                                      train=False)
+        agree, _, _ = seg_iou_metrics(
+            jnp.argmax(op_t, axis=-1), jnp.argmax(op_s, axis=-1),
+            jnp.zeros((op_s.shape[0],), jnp.float32))
+        from ..ops import seg_centers
+
+        m_s = batch_metrics(op_s, el_s, seg_centers(op_s), batch)
+        m_t = batch_metrics(op_t, el_t, seg_centers(op_t), batch)
+        return {
+            "agreement_miou": agree,
+            "student": m_s,
+            "teacher": m_t,
+        }
+
+    return jax.jit(fidelity_step)
+
+
+def evaluate_fidelity(fidelity_step, state, teacher_vars, pipeline,
+                      max_batches=None):
+    """Aggregate fidelity metrics over a pipeline.
+
+    Returns {"agreement_miou", "student_miou", "teacher_miou",
+    "miou_drop", ...center distances...}.
+    """
+    agg = []
+    for i, batch in enumerate(pipeline):
+        if max_batches is not None and i >= max_batches:
+            break
+        agg.append(fidelity_step(state.params, state.batch_stats,
+                                 teacher_vars, batch))
+    agg = jax.device_get(agg)
+
+    def _mean(path):
+        vals = []
+        for m in agg:
+            v = m
+            for k in path:
+                v = v[k]
+            vals.append(np.asarray(v))
+        return float(np.nanmean(vals))
+
+    out = {
+        "agreement_miou": _mean(["agreement_miou"]),
+        "student_miou": _mean(["student", "mean_iou"]),
+        "teacher_miou": _mean(["teacher", "mean_iou"]),
+        "student_pup_c_seg": _mean(["student", "pup_c_seg"]),
+        "teacher_pup_c_seg": _mean(["teacher", "pup_c_seg"]),
+    }
+    out["miou_drop"] = out["teacher_miou"] - out["student_miou"]
+    return out
+
+
+def distill_gate(fidelity: dict, max_miou_drop: float = 0.02,
+                 min_agreement: float = 0.90) -> bool:
+    """Acceptance gate for a distilled serving student.
+
+    The student may serve only if (a) its GT mIoU is within
+    ``max_miou_drop`` of the teacher's on the held-out split and (b) it
+    reproduces at least ``min_agreement`` of the teacher's segmentation.
+    """
+    return (fidelity["miou_drop"] <= max_miou_drop
+            and fidelity["agreement_miou"] >= min_agreement)
+
+
+@dataclass
+class DistillTrainer:
+    """Experiment driver for distillation runs.
+
+    Mirrors :class:`eghmd_tpu.training.Trainer`'s epoch loop (plateau LR +
+    early stop on the agreement metric, orbax-compatible TrainState) with
+    the teacher frozen throughout.
+    """
+
+    config: ExperimentConfig
+    student: Any
+    teacher: Any
+    teacher_vars: Any
+    distill: DistillConfig = DistillConfig()
+    edge_fn: Optional[Callable] = None
+    log_fn: Optional[Callable] = print
+
+    def __post_init__(self):
+        cfg = self.config
+        self.mesh = make_mesh(cfg.mesh_shape)
+        self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=cfg.lr)
+        self.plateau = ReduceLROnPlateau(lr=cfg.lr, patience=5, factor=0.1)
+        self.early = EarlyStopping(patience=10, delta=1e-4)
+        variant = cfg.variant
+        edge_thres = bool(variant.edge_thres or cfg.edge_thres)
+        self.distill_step = make_distill_step(
+            self.student, self.teacher, self.tx, self.distill,
+            edge_fn=self.edge_fn, edge_thres=edge_thres,
+            donate=cfg.donate_state)
+        self.fidelity_step = make_fidelity_step(
+            self.student, self.teacher, edge_fn=self.edge_fn,
+            edge_thres=edge_thres)
+        # teacher variables are replicated once and reused every step
+        self.teacher_vars = jax.device_put(
+            self.teacher_vars, replicated_sharding(self.mesh))
+
+    def init_state(self, sample_batch, rng=None) -> TrainState:
+        rng = rng if rng is not None else jax.random.PRNGKey(self.config.seed)
+        variables = jax.jit(
+            lambda r, a, b: self.student.init(r, a, b, train=False)
+        )(rng, sample_batch["image"], sample_batch["edge"])
+        params = variables["params"]
+        state = TrainState(
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=self.tx.init(params),
+            ds_params={},
+            ds_opt_state=optax.adam(1e-3).init({}),
+            step=jnp.zeros((), jnp.int32),
+        )
+        return jax.device_put(state, replicated_sharding(self.mesh))
+
+    def set_lr(self, state: TrainState, lr: float) -> TrainState:
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        return state._replace(opt_state=opt_state)
+
+    def run_epoch(self, state, pipeline, epoch, alpha=1.0):
+        if hasattr(pipeline, "set_epoch"):
+            pipeline.set_epoch(epoch)
+        agg, nb, t0 = [], 0, time.time()
+        for batch in pipeline:
+            state, metrics = self.distill_step(state, self.teacher_vars,
+                                               batch, alpha)
+            agg.append(metrics)
+            nb += 1
+        agg = jax.device_get(agg)
+        summary = {k: float(np.nanmean([np.asarray(m[k]) for m in agg]))
+                   for k in agg[0]}
+        summary["sec"] = time.time() - t0
+        summary["steps"] = nb
+        return state, summary
+
+    def fit(self, train_pipe, valid_pipe, checkpointer=None, state=None):
+        if state is None:
+            state = self.init_state(next(iter(valid_pipe)))
+        history = []
+        for epoch in range(self.config.epochs):
+            state, train_sum = self.run_epoch(state, train_pipe, epoch)
+            fid = evaluate_fidelity(self.fidelity_step, state,
+                                    self.teacher_vars, valid_pipe)
+            metric = fid["agreement_miou"]
+            new_lr = self.plateau.step(metric)
+            state = self.set_lr(state, new_lr)
+            improved = self.early.step(metric)
+            history.append({"epoch": epoch, "train": train_sum,
+                            "fidelity": fid, "lr": new_lr})
+            if self.log_fn:
+                self.log_fn(
+                    f"distill epoch {epoch}: loss {train_sum['loss']:.4f} "
+                    f"agree {fid['agreement_miou']:.4f} "
+                    f"dmIoU {fid['miou_drop']:+.4f} lr {new_lr:.2e}")
+            if checkpointer is not None:
+                checkpointer.save(epoch, state, is_best=improved)
+            if self.early.early_stop:
+                if self.log_fn:
+                    self.log_fn(f"distill early stop at epoch {epoch}")
+                break
+        return state, history

@@ -1,0 +1,127 @@
+"""Distillation subsystem tests (training/distill.py).
+
+A width-scaled student (the serving-throughput lever — BASELINE.md roofline)
+is trained to reproduce a teacher; acceptance is gated on student-vs-teacher
+segmentation agreement plus GT mIoU drop.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from eghmd_tpu.config import (ExperimentConfig, VARIANT_PRESETS,
+                              resolve_variant, scaled_variant)
+from eghmd_tpu.data import SyntheticEyeDataset, DataPipeline, collate
+from eghmd_tpu.models import build_model
+from eghmd_tpu.parallel import make_mesh, batch_sharding
+from eghmd_tpu.training import (DistillConfig, DistillTrainer, distill_gate,
+                                evaluate_fidelity)
+
+SIZE = (176, 192)  # min input for the regression head
+
+
+def test_scaled_variant_bottleneck():
+    v = scaled_variant(VARIANT_PRESETS["baseline_input_concat"], 16, 1.2)
+    assert v.feature_channels == int(1.2 * 16 * 4)
+    assert v.input_concat == 1
+    # the flagship stays at the reference's 153
+    assert VARIANT_PRESETS["baseline_edge"].feature_channels == 153
+
+
+def test_gate_logic():
+    ok = {"miou_drop": 0.01, "agreement_miou": 0.95}
+    assert distill_gate(ok)
+    assert not distill_gate({"miou_drop": 0.05, "agreement_miou": 0.95})
+    assert not distill_gate({"miou_drop": 0.01, "agreement_miou": 0.5})
+
+
+@pytest.fixture(scope="module")
+def distill_setup():
+    """Tiny teacher (baseline chz=8) + tiny student (input_concat chz=8)."""
+    cfg = ExperimentConfig(setting="baseline_input_concat", epochs=2,
+                           batchsize=8, image_size=SIZE, lr=1e-3)
+    t_variant = scaled_variant(VARIANT_PRESETS["baseline"], 8)
+    s_variant = scaled_variant(VARIANT_PRESETS["baseline_input_concat"], 8)
+    teacher = build_model("ritnet_v2", t_variant, chz=8)
+    student = build_model("ritnet_v2", s_variant, chz=8)
+    x0 = jnp.zeros((1, *SIZE, 1), jnp.float32)
+    teacher_vars = jax.jit(
+        lambda r, a, b: teacher.init(r, a, b, train=False)
+    )(jax.random.PRNGKey(7), x0, x0)
+    trainer = DistillTrainer(cfg, student, teacher, teacher_vars,
+                             distill=DistillConfig(w_gt=1.0), log_fn=None)
+    ds = SyntheticEyeDataset(16, SIZE, seed=5)
+    pipe = DataPipeline(ds, batch_size=8, sharding=batch_sharding(trainer.mesh),
+                        shuffle=False, num_workers=2)
+    return trainer, pipe
+
+
+class TestDistillStep:
+    def test_loss_decreases_teacher_frozen(self, distill_setup):
+        trainer, pipe = distill_setup
+        batch = next(iter(pipe))
+        state = trainer.init_state(batch)
+        t_leaf0 = np.asarray(jax.tree.leaves(trainer.teacher_vars["params"])[0])
+        p0 = np.asarray(jax.tree.leaves(state.params)[0])
+        losses = []
+        for _ in range(6):
+            state, metrics = trainer.distill_step(state, trainer.teacher_vars,
+                                                  batch, 0.5)
+            losses.append(float(metrics["loss"]))
+        assert np.all(np.isfinite(losses))
+        assert losses[-1] < losses[0], losses
+        assert 0.0 <= float(metrics["agreement_miou"]) <= 1.0
+        # student moved, teacher untouched
+        assert not np.allclose(np.asarray(jax.tree.leaves(state.params)[0]), p0)
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(trainer.teacher_vars["params"])[0]),
+            t_leaf0)
+
+    def test_fidelity_and_gate(self, distill_setup):
+        trainer, pipe = distill_setup
+        batch = next(iter(pipe))
+        state = trainer.init_state(batch)
+        fid = evaluate_fidelity(trainer.fidelity_step, state,
+                                trainer.teacher_vars, pipe, max_batches=1)
+        for k in ("agreement_miou", "student_miou", "teacher_miou",
+                  "miou_drop"):
+            assert k in fid and np.isfinite(fid[k]), (k, fid)
+        assert isinstance(distill_gate(fid), bool)
+
+
+@pytest.mark.slow
+def test_distill_fit_improves_agreement(distill_setup):
+    """Two distillation epochs raise the student's agreement with the
+    teacher — the subsystem's reason for existing."""
+    trainer, pipe = distill_setup
+    state = trainer.init_state(next(iter(pipe)))
+    fid0 = evaluate_fidelity(trainer.fidelity_step, state,
+                             trainer.teacher_vars, pipe)
+    state, history = trainer.fit(pipe, pipe, state=state)
+    fid1 = history[-1]["fidelity"]
+    assert fid1["agreement_miou"] > fid0["agreement_miou"], (fid0, fid1)
+
+
+@pytest.mark.slow
+def test_distill_cli_smoke(tmp_path):
+    """End-to-end driver: random teacher, 1 epoch, gate line printed."""
+    import json
+    import subprocess
+    import sys
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "cli/distill.py", "--synthetic", "16", "--epochs", "1",
+         "--chz", "8", "--teacher_chz", "8", "--teacher_setting", "baseline",
+         "--batchsize", "8", "--image_height", "176", "--image_width", "192",
+         "--log_dir", str(tmp_path)],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=1200)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert "accepted" in rec and "agreement_miou" in rec
