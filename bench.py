@@ -158,6 +158,9 @@ def main():
                         "<32 = a distilled serving student, see "
                         "training/distill.py — must pass its fidelity gate)")
     p.add_argument("--growth", type=float, default=1.2)
+    p.add_argument("--no-student", action="store_true",
+                   help="skip the distilled-student serving measurement "
+                        "that accompanies the default parity run")
     args = p.parse_args()
 
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
@@ -199,6 +202,29 @@ def main():
               f"{tflops:.1f} TFLOP/s, {gbps:.0f} GB/s HBM at {fps:.1f} fps",
               file=sys.stderr)
 
+    student = {}
+    if (not args.no_student and not args.refine and args.chz == 32
+            and args.setting == "baseline_edge"):
+        # Distilled-student serving point (training/distill.py): the fastest
+        # ladder rung measured on this chip — a chz=6/growth=1.0 no-edge
+        # student decoding seg at 1/4 res. Shapes only: serving it for real
+        # requires a distillation run that passes distill_gate() on real
+        # data (see BASELINE.md ladder).
+        try:
+            s_fps, s_extras = run_one(dtype, 256, False, 4, 4,
+                                      iters=args.iters, analyze=True,
+                                      setting="baseline", chz=6, growth=1.0)
+            student = {
+                "gated_student_fps": round(s_fps, 1),
+                "gated_student_cfg": "baseline chz6 growth1.0 seg/4 b256",
+                "gated_student_gf_per_frame": round(
+                    s_extras.get("gflops_per_frame", 0.0), 1),
+            }
+            print(f"gated-student rung: {s_fps:.1f} fps "
+                  f"({s_fps / 5000.0:.2f}x north star)", file=sys.stderr)
+        except Exception as e:  # pragma: no cover - auxiliary measurement
+            print(f"student measurement failed: {e}", file=sys.stderr)
+
     metric = "e2e_dual_eye_inference_fps_640x400"
     if args.refine:
         metric += "_refined"
@@ -213,6 +239,7 @@ def main():
         "setting": args.setting,
         "chz": args.chz,
         **extras,
+        **student,
     }))
 
 
