@@ -300,7 +300,9 @@ class Trainer:
             agg.append(metrics)
             nb += 1
             if tracing and nb >= 3:
-                jax.block_until_ready(metrics["loss"])
+                # host fetch, not block_until_ready: on the axon tunnel the
+                # latter can return before execution finishes (see bench._fence)
+                jax.device_get(metrics["loss"])
                 jax.profiler.stop_trace()
                 tracing = False
             if self.config.test_normal and nb >= 50:
