@@ -57,6 +57,10 @@ def parse_args(argv=None, train=True):
                         "resolution (checkpoint-compatible)")
     p.add_argument("--mesh", type=int, default=0,
                    help="data-parallel mesh size; 0 -> all devices")
+    p.add_argument("--remat", type=int, default=0,
+                   help="rematerialize encoder/decoder in the backward pass "
+                        "(jax.checkpoint): fits 240x320 batch>=16 f32 "
+                        "training on a 16 GB chip")
     p.add_argument("--log_dir", type=str, default="logs")
     p.add_argument("--profile_dir", type=str, default="",
                    help="capture a jax.profiler trace of the first steps")
@@ -97,6 +101,7 @@ def experiment_from_args(args):
         log_dir=args.log_dir,
         profile_dir=args.profile_dir,
         weights_init=getattr(args, "weights_init", "flax"),
+        remat=bool(getattr(args, "remat", 0)),
         mesh_shape=(args.mesh,) if args.mesh else None,
     )
 

@@ -30,7 +30,7 @@ def main(argv=None):
     from eghmd_tpu.utils.logging import ExperimentLogger
 
     variant = resolve_variant(args.setting)
-    model = build_model(args.model, variant, cfg.dtype)
+    model = build_model(args.model, variant, cfg.dtype, remat=cfg.remat)
     train_ds, valid_ds, test_ds = build_datasets(args)
 
     log_dir = os.path.join(cfg.log_dir, args.model, args.expname)

@@ -115,6 +115,8 @@ class ExperimentConfig:
     log_dir: str = "logs"
     profile_dir: str = ""           # non-empty: jax.profiler trace of early steps
     weights_init: str = "flax"      # flax | reference (He/0.01) | xavier
+    remat: bool = False             # rematerialize enc/dec in backward (fits
+                                    # 240x320 batch>=16 f32 training in HBM)
     # TPU-specific
     mesh_shape: Optional[Tuple[int, ...]] = None  # None -> all devices on 'data'
     donate_state: bool = True

@@ -7,7 +7,7 @@ from .bdcn import BDCN, VGG16C, MSBlock, make_edge_fn
 
 
 def build_model(name, variant=None, dtype=None, seg_downscale=1, chz=32,
-                growth=1.2):
+                growth=1.2, remat=False):
     """Model registry (reference train.py:135-141 / modelSummary.py).
 
     ``seg_downscale`` selects the fast-seg serving mode on ESF-Net
@@ -21,7 +21,7 @@ def build_model(name, variant=None, dtype=None, seg_downscale=1, chz=32,
     if name in ("ritnet_v2", "esfnet"):
         assert variant is not None, "ESF-Net needs a VariantConfig"
         return ESFNet(setting=variant, dtype=dtype, seg_downscale=seg_downscale,
-                      chz=chz, growth=growth)
+                      chz=chz, growth=growth, remat=remat)
     if name == "ritnet_v1":
         return RITnetV1(dtype=dtype)
     if name == "deepvog":

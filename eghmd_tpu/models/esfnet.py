@@ -144,6 +144,11 @@ class ESFNet(nn.Module):
     # are identical to the full model (checkpoint-compatible); accuracy is
     # gated in tests/test_esfnet_parity.py. Training keeps seg_downscale=1.
     seg_downscale: int = 1
+    # rematerialize the encoder/decoder in the backward pass (jax.checkpoint):
+    # trades ~1/3 more FLOPs for dropping the stored decoder-concat
+    # activations — the 240x320 batch-16 f32 train step OOMs a 16 GB chip
+    # without it. Parameter tree is unchanged (checkpoint-compatible).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, x_edge, train: bool = False):
@@ -155,7 +160,9 @@ class ESFNet(nn.Module):
         if cfg.input_concat:
             x = jnp.concatenate([x, x_edge], axis=-1)
 
-        enc = DenseEncoder(self.chz, self.growth, dtype=self.dtype, name="enc")
+        enc_cls = (nn.remat(DenseEncoder, static_argnums=(2,)) if self.remat
+                   else DenseEncoder)
+        enc = enc_cls(self.chz, self.growth, dtype=self.dtype, name="enc")
         if cfg.add_edge and not train:
             # SAME shared encoder applied to both the image and the edge map
             # (reference :283-287). At inference the two passes are batched
@@ -178,7 +185,9 @@ class ESFNet(nn.Module):
                 *_, bott_edge = enc(x_edge, train)
                 bott = jnp.concatenate([bott, bott_edge], axis=-1)
 
-        op = DenseDecoder(
+        dec_cls = (nn.remat(DenseDecoder, static_argnums=(6,)) if self.remat
+                   else DenseDecoder)
+        op = dec_cls(
             self.chz, self.growth, out_c=3, add_edge=bool(cfg.add_edge),
             dtype=self.dtype, seg_downscale=self.seg_downscale, name="dec",
         )(x4, x3, x2, x1, bott, train)
