@@ -50,6 +50,9 @@ def parse_args(argv=None):
     p.add_argument("--max_miou_drop", type=float, default=0.02)
     p.add_argument("--min_agreement", type=float, default=0.90)
     # run
+    p.add_argument("--resume", type=int, default=0,
+                   help="restore the latest student checkpoint for this "
+                        "expname and train --epochs MORE epochs")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--prec", type=int, default=32)
     p.add_argument("--epochs", type=int, default=20)
@@ -152,7 +155,21 @@ def main(argv=None):
 
     log_dir = os.path.join(cfg.log_dir, "distill", args.expname)
     ckpt = CheckpointManager(os.path.join(log_dir, "checkpoints"))
-    state, history = trainer.fit(train_pipe, valid_pipe, checkpointer=ckpt)
+    state, start_epoch = None, 0
+    if args.resume and ckpt.latest_epoch() is not None:
+        import jax
+
+        from eghmd_tpu.parallel import replicated_sharding
+
+        last = ckpt.latest_epoch()
+        state = trainer.init_state(next(iter(valid_pipe)))
+        state = ckpt.restore(state, tag=f"epoch_{last}")
+        state = jax.device_put(state, replicated_sharding(trainer.mesh))
+        start_epoch = last + 1
+        print(f"resumed student from epoch {last}; "
+              f"training {cfg.epochs} more epochs")
+    state, history = trainer.fit(train_pipe, valid_pipe, checkpointer=ckpt,
+                                 state=state, start_epoch=start_epoch)
 
     fid = evaluate_fidelity(trainer.fidelity_step, state, trainer.teacher_vars,
                             valid_pipe)

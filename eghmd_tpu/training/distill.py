@@ -270,11 +270,14 @@ class DistillTrainer:
         summary["steps"] = nb
         return state, summary
 
-    def fit(self, train_pipe, valid_pipe, checkpointer=None, state=None):
+    def fit(self, train_pipe, valid_pipe, checkpointer=None, state=None,
+            start_epoch=0):
+        """Run ``config.epochs`` distillation epochs (numbered from
+        ``start_epoch`` so resumed runs keep checkpoint tags monotonic)."""
         if state is None:
             state = self.init_state(next(iter(valid_pipe)))
         history = []
-        for epoch in range(self.config.epochs):
+        for epoch in range(start_epoch, start_epoch + self.config.epochs):
             state, train_sum = self.run_epoch(state, train_pipe, epoch)
             fid = evaluate_fidelity(self.fidelity_step, state,
                                     self.teacher_vars, valid_pipe)
