@@ -100,17 +100,31 @@ class SyntheticEyeDataset:
 
     def __init__(self, n: int = 256, size: Tuple[int, int] = (240, 320),
                  aug: bool = False, seed: int = 0,
-                 missing_mask_frac: float = 0.0):
+                 missing_mask_frac: float = 0.0, cache: bool = True):
         self.n = n
         self.size = size
         self.aug = aug
         self.seed = seed
         self.missing_mask_frac = missing_mask_frac
+        # Every sample is a deterministic function of (seed, idx) — the RNG
+        # is re-seeded per index, including the augmentation draws — so
+        # caching is semantics-preserving. It removes the ~0.3 s/sample of
+        # host render+EDT work from every epoch after the first (this box
+        # has ONE core; a 128-sample epoch costs ~40 s uncached).
+        self._cache: dict = {} if cache else None
 
     def __len__(self):
         return self.n
 
     def __getitem__(self, idx) -> Sample:
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx]
+        s = self._make(idx)
+        if self._cache is not None:
+            self._cache[idx] = s
+        return s
+
+    def _make(self, idx) -> Sample:
         rng = np.random.RandomState(self.seed * 100003 + idx)
         h, w = self.size
         img, mask, iris_p, pupil_p, pupil_c = render_eye(rng, h, w)

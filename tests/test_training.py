@@ -22,7 +22,7 @@ from eghmd_tpu.training.checkpoints import CheckpointManager
 def make_trainer(setting="baseline", size=(176, 192), **overrides):
     cfg = ExperimentConfig(setting=setting, epochs=4, batchsize=8,
                            image_size=size, disentangle=True, **overrides)
-    model = ESFNet(setting=cfg.variant)
+    model = ESFNet(setting=cfg.variant, dtype=cfg.dtype)
     ds_head = LinStack(64, 2, num_layers=2, act=False)
     return Trainer(cfg, model, ds_head=ds_head, log_fn=None)
 
@@ -129,6 +129,25 @@ class TestTrainStep:
         state = shared_trainer.set_lr(state, 1e-5)
         state, _ = shared_trainer.train_step(state, b, 0.0)  # must not recompile-crash
         assert float(state.opt_state.hyperparams["learning_rate"]) == pytest.approx(1e-5)
+
+
+class TestBf16Training:
+    @pytest.mark.slow  # its own compile of the full train step on the CPU mesh
+    def test_mixed_precision_steps(self, mesh_pipe):
+        """bf16 compute / f32 params (flax keeps param_dtype=f32): two steps
+        run, losses are finite and decrease, params stay f32."""
+        trainer = make_trainer(prec="bfloat16")
+        batches = list(mesh_pipe[1])
+        state = trainer.init_state(batches[0])
+        assert jax.tree.leaves(state.params)[0].dtype == jnp.float32
+        losses = []
+        for _ in range(2):
+            for b in batches:
+                state, m = trainer.train_step(state, b, 0.5)
+                losses.append(float(m["loss"]))
+        assert np.all(np.isfinite(losses)), losses
+        assert losses[-1] < losses[0], losses
+        assert jax.tree.leaves(state.params)[0].dtype == jnp.float32
 
 
 class TestGoldenTrajectory:
