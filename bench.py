@@ -28,50 +28,12 @@ import jax.numpy as jnp
 def build_pipeline(dtype=jnp.bfloat16, batch_frames=32, refine=False,
                    edge_downscale=1, seg_downscale=1,
                    setting="baseline_edge", chz=32, growth=1.2):
-    from eghmd_tpu.config import VARIANT_PRESETS, scaled_variant
-    from eghmd_tpu.models import ESFNet
-    from eghmd_tpu.models.bdcn import BDCN, edge_input_dims, make_edge_fn
-    from eghmd_tpu.inference.preprocess import preprocess_frames
-    from eghmd_tpu.losses import el_pred_from_seg_centers
-    from eghmd_tpu.geometry.ellipse import transform_ellipse, unnorm_mat
-    from eghmd_tpu.ops import refine_ellipse_batch, seg_centers
+    from eghmd_tpu.inference.serving import build_serving_step
 
-    rng = jax.random.PRNGKey(0)
-    variant = VARIANT_PRESETS[setting]
-    if chz != 32 or growth != 1.2:
-        # width-scaled serving student (training/distill.py)
-        variant = scaled_variant(variant, chz, growth)
-    model = ESFNet(setting=variant, dtype=dtype, chz=chz, growth=growth,
-                   seg_downscale=seg_downscale)
-    x0 = jnp.zeros((1, 240, 320, 1), jnp.float32)
-    # jit the inits: eager flax init dispatches each conv separately (minutes
-    # of per-op compiles on TPU); one traced init compiles in seconds
-    variables = jax.jit(lambda r, a, b: model.init(r, a, b, train=False))(rng, x0, x0)
-
-    bdcn = BDCN(dtype=dtype)
-    eh, ew = edge_input_dims(240, 320, edge_downscale)
-    bdcn_vars = jax.jit(bdcn.init)(rng, jnp.zeros((1, eh, ew, 3), jnp.float32))
-    edge_fn = make_edge_fn(bdcn_vars, dtype=dtype, downscale=edge_downscale)
-
-    def step(variables, bdcn_vars, frames):
-        eyes = jnp.concatenate([frames[:, :, :320], frames[:, :, 320:640]], axis=0)
-        img, _ = preprocess_frames(eyes, (240, 320))
-        edge = edge_fn(img)
-        op, el_out, _ = model.apply(variables, img, edge, train=False)
-        h, w = 240, 320
-        el_pred = el_pred_from_seg_centers(seg_centers(op), el_out)
-        seg = jnp.argmax(op, axis=-1).astype(jnp.uint8)
-        hu = unnorm_mat(h, w, jnp, dtype=jnp.float32)
-        iris_px = transform_ellipse(el_pred[:, :5].astype(jnp.float32), hu, jnp)
-        pupil_px = transform_ellipse(el_pred[:, 5:].astype(jnp.float32), hu, jnp)
-        if refine:
-            # one batched refinement over [iris; pupil] masks (2B rows)
-            masks = jnp.concatenate([(seg == 1), (seg == 2)]).astype(jnp.float32)
-            els = jnp.concatenate([iris_px, pupil_px], axis=0)
-            ref = refine_ellipse_batch(masks, els)
-            iris_px, pupil_px = ref[:seg.shape[0]], ref[seg.shape[0]:]
-        return seg, iris_px, pupil_px
-
+    step, variables, bdcn_vars = build_serving_step(
+        dtype=dtype, refine=refine, edge_downscale=edge_downscale,
+        seg_downscale=seg_downscale, setting=setting, chz=chz, growth=growth,
+    )
     jitted = jax.jit(step)
     frames = jnp.asarray(
         np.random.RandomState(0).randint(0, 255, (batch_frames, 400, 640)),

@@ -14,6 +14,7 @@ for training (the kernel is forward-only).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -53,7 +54,7 @@ def soft_argmax_2d(op_channel, temperature: float = 4.0):
     yloc = grid_pts[..., 1].reshape(1, hw)
     flat = op_channel.reshape(b, hw)
 
-    if not _HAS_PALLAS:  # pragma: no cover
+    if not _HAS_PALLAS or _FORCE_REFERENCE:
         return _reference(flat, xloc, yloc, temperature)
 
     # Mosaic requires the second-to-last block dim divisible by 8 (or equal
@@ -64,25 +65,56 @@ def soft_argmax_2d(op_channel, temperature: float = 4.0):
     if pad:
         flat = jnp.pad(flat, ((0, pad), (0, 0)))
     kernel = functools.partial(_kernel, temperature=temperature)
-    interpret = jax.devices()[0].platform != "tpu"
-    out = pl.pallas_call(
-        kernel,
-        grid=((b + pad) // tb,),
-        in_specs=[
-            pl.BlockSpec((tb, hw), lambda i: (i, 0)),
-            pl.BlockSpec((1, hw), lambda i: (0, 0)),
-            pl.BlockSpec((1, hw), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((tb, 2), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b + pad, 2), op_channel.dtype),
-        interpret=interpret,
-    )(flat, xloc, yloc)
+
+    def run(interpret, flat, xloc, yloc):
+        return pl.pallas_call(
+            kernel,
+            grid=((b + pad) // tb,),
+            in_specs=[
+                pl.BlockSpec((tb, hw), lambda i: (i, 0)),
+                pl.BlockSpec((1, hw), lambda i: (0, 0)),
+                pl.BlockSpec((1, hw), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((tb, 2), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((b + pad, 2), op_channel.dtype),
+            interpret=interpret,
+        )(flat, xloc, yloc)
+
+    # per-platform lowering (resolved statically under single-platform jit)
+    # so multi-platform `jax.export` artifacts work: the compiled Mosaic
+    # kernel on TPU, interpret mode elsewhere.
+    out = jax.lax.platform_dependent(
+        flat, xloc, yloc,
+        tpu=functools.partial(run, False),
+        default=functools.partial(run, True),
+    )
     return out[:b]
 
 
 def _reference(flat, xloc, yloc, temperature):
     wt = jax.nn.softmax(flat * temperature, axis=-1)
     return jnp.stack([jnp.sum(wt * xloc[0], -1), jnp.sum(wt * yloc[0], -1)], axis=-1)
+
+
+_FORCE_REFERENCE = False
+
+
+@contextlib.contextmanager
+def reference_softargmax():
+    """Trace with the plain-XLA soft-argmax instead of the Pallas kernel.
+
+    Needed for multi-platform ``jax.export`` artifacts: pallas_call's CPU
+    lowering rule rejects compiled (non-interpret) kernels even inside the
+    TPU branch of ``lax.platform_dependent``, so a portable artifact must
+    avoid the kernel entirely. The XLA path is numerically identical up to
+    float association.
+    """
+    global _FORCE_REFERENCE
+    prev, _FORCE_REFERENCE = _FORCE_REFERENCE, True
+    try:
+        yield
+    finally:
+        _FORCE_REFERENCE = prev
 
 
 def seg_centers(op, temperature: float = 4.0):
