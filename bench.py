@@ -123,6 +123,10 @@ def main():
     p.add_argument("--no-student", action="store_true",
                    help="skip the distilled-student serving measurement "
                         "that accompanies the default parity run")
+    p.add_argument("--profile-dir", default="",
+                   help="non-empty: capture a jax.profiler device trace of "
+                        "a few serving steps into this directory "
+                        "(TensorBoard-loadable)")
     args = p.parse_args()
 
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
@@ -150,6 +154,22 @@ def main():
                           args.seg_downscale, iters=args.iters, analyze=True,
                           setting=args.setting, chz=args.chz,
                           growth=args.growth)
+
+    if args.profile_dir:
+        # first-class device tracing (SURVEY §5): a short traced window of
+        # the final configuration, fenced like the timed loop
+        jitted, variables, bdcn_vars, frames = build_pipeline(
+            dtype=dtype, batch_frames=best_bs, refine=args.refine,
+            edge_downscale=args.edge_downscale,
+            seg_downscale=args.seg_downscale, setting=args.setting,
+            chz=args.chz, growth=args.growth)
+        _fence(jitted(variables, bdcn_vars, frames))
+        jax.profiler.start_trace(args.profile_dir)
+        for _ in range(3):
+            out = jitted(variables, bdcn_vars, frames)
+        _fence(out)
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {args.profile_dir}", file=sys.stderr)
     fps = max(fps, best_fps)
 
     if extras.get("gflops_per_frame"):

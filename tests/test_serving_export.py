@@ -38,6 +38,30 @@ def test_export_roundtrip(tmp_path):
                                rtol=1e-5, atol=1e-4)
 
 
+def test_serving_step_data_parallel():
+    """Serving scales out like training does: frames batch-sharded over the
+    'data' mesh, weights replicated, identical results to single-device.
+    (SURVEY §2.4: DP is the only collective surface this workload needs —
+    for serving too, since frames are independent.)"""
+    from eghmd_tpu.parallel import (make_mesh, batch_sharding,
+                                    replicated_sharding)
+
+    step, variables, bdcn_vars = build_serving_step(**CFG)
+    frames = jnp.asarray(
+        np.random.RandomState(2).randint(0, 255, (8, 176, 384)), jnp.float32)
+    jitted = jax.jit(step)
+    ref = jitted(variables, bdcn_vars, frames)
+
+    mesh = make_mesh()
+    v_rep = jax.device_put(variables, replicated_sharding(mesh))
+    b_rep = jax.device_put(bdcn_vars, replicated_sharding(mesh))
+    f_sh = jax.device_put(frames, batch_sharding(mesh))
+    out = jitted(v_rep, b_rep, f_sh)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-4)
+
+
 @pytest.mark.slow  # two more full export lowerings on the 1-CPU box
 def test_export_bakes_given_weights(tmp_path):
     """Different weights -> different artifact outputs (weights really are
