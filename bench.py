@@ -98,6 +98,10 @@ def run_one(dtype, batch_frames, refine, edge_downscale, seg_downscale,
 def main():
     import argparse
 
+    from eghmd_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     p = argparse.ArgumentParser()
     p.add_argument("--batch-frames", type=int, default=0,
                    help="frames per step; 0 = auto-sweep and pick the best")

@@ -11,6 +11,10 @@ from pprint import pprint
 
 
 def parse_args(argv=None, train=True):
+    from eghmd_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     p = argparse.ArgumentParser()
     p.add_argument("--lr", type=float, default=5e-4, help="learning rate")
     p.add_argument("--prec", type=int, default=32, help="precision: 16 (bf16) or 32")

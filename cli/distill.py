@@ -108,6 +108,10 @@ def main(argv=None):
 
     import json
 
+    from eghmd_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from eghmd_tpu.config import (ExperimentConfig, resolve_variant,
                                   scaled_variant)
     from eghmd_tpu.data import DataPipeline

@@ -54,6 +54,10 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
+    from eghmd_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from eghmd_tpu.inference.serving import export_serving_artifact
 
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]

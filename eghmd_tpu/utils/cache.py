@@ -1,0 +1,36 @@
+"""Persistent XLA compilation cache.
+
+Every CLI entry point calls :func:`enable_persistent_cache` so repeat
+invocations (bench sweeps, evaluate runs, distill restarts) skip the
+~2-10 min TPU compile of the big serving/train programs. Measured on the
+bench: 13.5 min cold (cache-populating) -> 4.2 min warm for the same
+invocation; the remaining warm time is executable deserialization and the
+cost-analysis lowering.
+
+The JAX_COMPILATION_CACHE_DIR env var, when set, wins (standard JAX
+behavior); otherwise the cache lives under ~/.cache/eghmd_tpu/xla.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_persistent_cache(directory: str | None = None) -> str:
+    """Idempotently point JAX's compilation cache at a writable directory.
+
+    Returns the directory in use.
+    """
+    import jax
+
+    directory = (directory or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                 or os.path.join(os.path.expanduser("~"), ".cache",
+                                 "eghmd_tpu", "xla"))
+    os.makedirs(directory, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", directory)
+        # cache everything that takes meaningful compile time
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax without these knobs
+        pass
+    return directory

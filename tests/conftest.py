@@ -15,6 +15,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite's wall time is dominated by
+# CPU-mesh compiles of the big train/serving programs; caching them across
+# runs cuts repeat-suite time sharply.
+from eghmd_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 
 def pytest_configure(config):
     assert len(jax.devices()) == 8 and jax.devices()[0].platform == "cpu", (
