@@ -11,10 +11,10 @@ import jax.numpy as jnp
 import pytest
 
 from eghmd_tpu.config import (ExperimentConfig, VARIANT_PRESETS,
-                              resolve_variant, scaled_variant)
-from eghmd_tpu.data import SyntheticEyeDataset, DataPipeline, collate
+                              scaled_variant)
+from eghmd_tpu.data import SyntheticEyeDataset, DataPipeline
 from eghmd_tpu.models import build_model
-from eghmd_tpu.parallel import make_mesh, batch_sharding
+from eghmd_tpu.parallel import batch_sharding
 from eghmd_tpu.training import (DistillConfig, DistillTrainer, distill_gate,
                                 evaluate_fidelity)
 
