@@ -147,7 +147,14 @@ def main():
                              setting=args.setting, chz=args.chz,
                              growth=args.growth)
         except Exception as e:
-            print(f"batch {bs}: failed ({type(e).__name__}); stopping sweep",
+            msg = str(e)
+            oom = ("RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower()
+                   or "OOM" in msg)
+            why = ("HBM out of memory — the sweep found the largest batch "
+                   "that fits; larger batches cannot help a bandwidth-bound "
+                   "step anyway" if oom else f"{type(e).__name__}: "
+                   + msg.splitlines()[0][:200])
+            print(f"batch {bs}: failed ({why}); stopping sweep",
                   file=sys.stderr)
             break
         print(f"batch {bs}: {fps:.1f} fps", file=sys.stderr)
@@ -193,20 +200,23 @@ def main():
             and args.setting == "baseline_edge"):
         # Distilled-student serving point (training/distill.py): the fastest
         # ladder rung measured on this chip — a chz=6/growth=1.0 no-edge
-        # student decoding seg at 1/4 res. Shapes only: serving it for real
-        # requires a distillation run that passes distill_gate() on real
-        # data (see BASELINE.md ladder).
+        # student decoding seg at 1/4 res. This run measures the SHAPE only
+        # (random weights); "student_shape_ungated" marks that no fidelity
+        # gate was evaluated here. Serving it for real requires a
+        # distillation run that passes distill_gate() on real data — the
+        # same shape did pass end-to-end on synthetic data (BASELINE.md).
         try:
             s_fps, s_extras = run_one(dtype, 256, False, 4, 4,
                                       iters=args.iters, analyze=True,
                                       setting="baseline", chz=6, growth=1.0)
             student = {
-                "gated_student_fps": round(s_fps, 1),
-                "gated_student_cfg": "baseline chz6 growth1.0 seg/4 b256",
-                "gated_student_gf_per_frame": round(
+                "student_shape_fps": round(s_fps, 1),
+                "student_shape_cfg": "baseline chz6 growth1.0 seg/4 b256",
+                "student_shape_ungated": True,
+                "student_shape_gf_per_frame": round(
                     s_extras.get("gflops_per_frame", 0.0), 1),
             }
-            print(f"gated-student rung: {s_fps:.1f} fps "
+            print(f"student-shape rung (ungated weights): {s_fps:.1f} fps "
                   f"({s_fps / 5000.0:.2f}x north star)", file=sys.stderr)
         except Exception as e:  # pragma: no cover - auxiliary measurement
             print(f"student measurement failed: {e}", file=sys.stderr)

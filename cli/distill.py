@@ -85,18 +85,9 @@ def load_teacher_vars(path, teacher, variant, image_size):
         return jax.jit(lambda r, a, b: teacher.init(r, a, b, train=False))(
             jax.random.PRNGKey(7), x0, x0)
     if os.path.isdir(path):
-        import orbax.checkpoint as ocp
+        from eghmd_tpu.training.checkpoints import load_checkpoint_variables
 
-        entries = set(os.listdir(path))
-        if "best" in entries:
-            path = os.path.join(path, "best")
-        elif any(e.startswith("epoch_") for e in entries):
-            last = max(int(e.split("_")[1]) for e in entries
-                       if e.startswith("epoch_"))
-            path = os.path.join(path, f"epoch_{last}")
-        raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
-        return jax.tree.map(jnp.asarray, {
-            "params": raw["params"], "batch_stats": raw.get("batch_stats", {})})
+        return load_checkpoint_variables(path)
     from eghmd_tpu.utils.torch_convert import load_reference_esfnet_checkpoint
 
     return jax.tree.map(

@@ -63,21 +63,9 @@ def main(argv=None):
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
     variables = None
     if args.ckpt:
-        import jax
-        import orbax.checkpoint as ocp
+        from eghmd_tpu.training.checkpoints import load_checkpoint_variables
 
-        path = args.ckpt
-        entries = set(os.listdir(path))
-        if "best" in entries:
-            path = os.path.join(path, "best")
-        elif any(e.startswith("epoch_") for e in entries):
-            last = max(int(e.split("_")[1]) for e in entries
-                       if e.startswith("epoch_"))
-            path = os.path.join(path, f"epoch_{last}")
-        raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
-        variables = jax.tree.map(jnp.asarray, {
-            "params": raw["params"],
-            "batch_stats": raw.get("batch_stats", {})})
+        variables = load_checkpoint_variables(args.ckpt)
     bdcn_vars = None
     if args.bdcn_weights:
         import jax

@@ -110,8 +110,12 @@ class SyntheticEyeDataset:
         # is re-seeded per index, including the augmentation draws — so
         # caching is semantics-preserving. It removes the ~0.3 s/sample of
         # host render+EDT work from every epoch after the first (this box
-        # has ONE core; a 128-sample epoch costs ~40 s uncached).
+        # has ONE core; a 128-sample epoch costs ~40 s uncached). The cache
+        # is bounded at ~2 GB of sample payload so big serving-size datasets
+        # do not pin unbounded host RAM for the process lifetime.
         self._cache: dict = {} if cache else None
+        self._cache_bytes = 0
+        self._cache_limit_bytes = 2 << 30
 
     def __len__(self):
         return self.n
@@ -120,8 +124,10 @@ class SyntheticEyeDataset:
         if self._cache is not None and idx in self._cache:
             return self._cache[idx]
         s = self._make(idx)
-        if self._cache is not None:
+        if self._cache is not None and self._cache_bytes < self._cache_limit_bytes:
             self._cache[idx] = s
+            self._cache_bytes += sum(
+                a.nbytes for a in s if isinstance(a, np.ndarray))
         return s
 
     def _make(self, idx) -> Sample:

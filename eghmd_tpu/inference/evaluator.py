@@ -79,18 +79,22 @@ class Evaluator:
                 "iou_by_sample": by_sample,
                 "loss": out.total,
             }
-            res["pup_lat_dist"] = point_metric(
+            res["pup_lat_dist"], res["pup_lat_by_sample"] = point_metric(
                 batch["pupil_center"], unnorm_pts(el_out[:, 5:7], (h, w), jnp),
-                batch["cond"][:, 0])[0]
-            res["iri_lat_dist"] = point_metric(
+                batch["cond"][:, 0])
+            res["iri_lat_dist"], res["iri_lat_by_sample"] = point_metric(
                 batch["iris_center"], unnorm_pts(el_out[:, 0:2], (h, w), jnp),
-                batch["cond"][:, 1])[0]
-            res["pup_seg_dist"] = point_metric(
+                batch["cond"][:, 1])
+            res["pup_seg_dist"], res["pup_seg_by_sample"] = point_metric(
                 batch["pupil_center"], unnorm_pts(el_pred[:, 5:7], (h, w), jnp),
-                batch["cond"][:, 1])[0]
-            res["iri_seg_dist"] = point_metric(
+                batch["cond"][:, 1])
+            res["iri_seg_dist"], res["iri_seg_by_sample"] = point_metric(
                 batch["iris_center"], unnorm_pts(el_pred[:, 0:2], (h, w), jnp),
-                batch["cond"][:, 1])[0]
+                batch["cond"][:, 1])
+            # valid flags accompany the by-sample arrays so run() can also
+            # aggregate once over ALL samples (see run() docstring)
+            res["valid_c0"] = 1.0 - batch["cond"][:, 0].astype(jnp.float32)
+            res["valid_c1"] = 1.0 - batch["cond"][:, 1].astype(jnp.float32)
 
             if bbox_iou:
                 hu = unnorm_mat(h, w, jnp, dtype=op.dtype)
@@ -110,7 +114,21 @@ class Evaluator:
         return step
 
     def run(self, pipeline, max_batches: Optional[int] = None, log_fn=None):
-        """Evaluate over a pipeline; returns the reference's printed metrics."""
+        """Evaluate over a pipeline; returns the reference's printed metrics.
+
+        Aggregation parity note: the printed metrics reproduce the
+        reference's EXACT two-level scheme — per-batch nanmeans over valid
+        samples (``getSeg_metrics``/``getPoint_metric``, utils.py:120-162),
+        then a nanmean over the per-batch values (``ious.append(iou)`` +
+        ``np.nanmean(np.stack(ious), axis=0)`` at test.py:216-221 and
+        ``np.nanmean(dists_*)`` at test.py:235-238). With ragged cond
+        patterns this mean-of-batch-means differs from a single mean over
+        all samples; both are reported — ``mean_iou``/``*_dist`` carry the
+        reference-printout semantics (verified against the torch oracle in
+        tests/test_inference.py), and ``*_per_sample`` keys carry the
+        once-over-all-samples aggregation from the accumulated per-sample
+        arrays.
+        """
         agg = []
         for i, batch in enumerate(pipeline):
             if max_batches is not None and i >= max_batches:
@@ -121,7 +139,19 @@ class Evaluator:
         def nm(key):
             return float(np.nanmean([np.asarray(m[key]) for m in agg]))
 
+        def cat(key):
+            return np.concatenate([np.asarray(m[key]) for m in agg], axis=0)
+
+        def ps_dist(key, flagkey):
+            # one mean over ALL valid samples (by-sample arrays are already
+            # flag-multiplied, so a plain sum/sum is exact)
+            d, f = cat(key), cat(flagkey)
+            tot = f.sum()
+            return float(d.sum() / tot) if tot > 0 else float("nan")
+
         per_class = np.nanmean(np.stack([np.asarray(m["per_class_iou"]) for m in agg]), 0)
+        iou_by_sample = cat("iou_by_sample")
+        per_class_ps = np.nanmean(iou_by_sample, axis=0)
         out = {
             "ious": per_class,
             "mean_iou": float(np.mean(per_class)),
@@ -130,9 +160,14 @@ class Evaluator:
             "pup_seg_dist": nm("pup_seg_dist"),
             "iri_seg_dist": nm("iri_seg_dist"),
             "loss": nm("loss"),
-            "iou_by_sample": np.concatenate(
-                [np.asarray(m["iou_by_sample"]) for m in agg], axis=0
-            ),
+            "iou_by_sample": iou_by_sample,
+            # single-pass per-sample aggregation (see docstring)
+            "ious_per_sample": per_class_ps,
+            "mean_iou_per_sample": float(np.nanmean(per_class_ps)),
+            "pup_lat_dist_per_sample": ps_dist("pup_lat_by_sample", "valid_c0"),
+            "iri_lat_dist_per_sample": ps_dist("iri_lat_by_sample", "valid_c1"),
+            "pup_seg_dist_per_sample": ps_dist("pup_seg_by_sample", "valid_c1"),
+            "iri_seg_dist_per_sample": ps_dist("iri_seg_by_sample", "valid_c1"),
         }
         if self.bbox_iou:
             out["bbiou_iris"] = nm("bbiou_iris")

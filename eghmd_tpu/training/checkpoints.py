@@ -97,6 +97,33 @@ class CheckpointManager:
                               batch_stats=restored.batch_stats)
 
 
+def resolve_checkpoint_dir(path: str) -> str:
+    """Resolve a CheckpointManager directory to one orbax checkpoint path:
+    prefer ``best``, else the highest ``epoch_N``; a path that is already a
+    single checkpoint is returned unchanged. Shared by cli/export.py and
+    cli/distill.py (reference load-priority semantics,
+    pytorchtools.py:140-154)."""
+    entries = set(os.listdir(path))
+    if "best" in entries:
+        return os.path.join(path, "best")
+    epochs = [int(e.split("_")[1]) for e in entries if e.startswith("epoch_")]
+    if epochs:
+        return os.path.join(path, f"epoch_{max(epochs)}")
+    return path
+
+
+def load_checkpoint_variables(path: str):
+    """Load ``{'params', 'batch_stats'}`` model variables from an orbax
+    checkpoint directory (manager dir or single checkpoint)."""
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    raw = ocp.PyTreeCheckpointer().restore(
+        os.path.abspath(resolve_checkpoint_dir(path)))
+    return jax.tree.map(jnp.asarray, {
+        "params": raw["params"], "batch_stats": raw.get("batch_stats", {})})
+
+
 def bootstrap_state(state, loadfile: str, setting=None):
     """Initialize model weights from ``loadfile``: an orbax checkpoint
     directory (this framework) or a torch ``.pkl``/``.pt`` reference

@@ -276,6 +276,12 @@ class DistillTrainer:
         ``start_epoch`` so resumed runs keep checkpoint tags monotonic)."""
         if state is None:
             state = self.init_state(next(iter(valid_pipe)))
+        if checkpointer is not None and start_epoch > 0:
+            from .schedule import restore_schedule_state
+
+            if restore_schedule_state(checkpointer.directory, self.plateau,
+                                      self.early):
+                state = self.set_lr(state, self.plateau.lr)
         history = []
         for epoch in range(start_epoch, start_epoch + self.config.epochs):
             state, train_sum = self.run_epoch(state, train_pipe, epoch)
@@ -294,6 +300,10 @@ class DistillTrainer:
                     f"dmIoU {fid['miou_drop']:+.4f} lr {new_lr:.2e}")
             if checkpointer is not None:
                 checkpointer.save(epoch, state, is_best=improved)
+                from .schedule import save_schedule_state
+
+                save_schedule_state(checkpointer.directory, self.plateau,
+                                    self.early)
             if self.early.early_stop:
                 if self.log_fn:
                     self.log_fn(f"distill early stop at epoch {epoch}")

@@ -37,6 +37,46 @@ def composite_stop_metric(mean_iou, pup_c_dist, iri_c_dist, pup_ang, iri_ang):
     return float(1.0 - pup_c_dist / 400.0)
 
 
+def save_schedule_state(directory: str, plateau: "ReduceLROnPlateau",
+                        early: "EarlyStopping") -> None:
+    """Persist host-side schedule state (plateau LR + early-stop history)
+    next to the checkpoints so ``--resume`` continues LR decay / patience
+    counters instead of silently resetting them."""
+    import json
+    import os
+
+    with open(os.path.join(directory, "schedule.json"), "w") as f:
+        json.dump({
+            "plateau": {"lr": plateau.lr, "best": plateau.best,
+                        "num_bad": plateau.num_bad},
+            "early": {"best_score": early.best_score,
+                      "counter": early.counter,
+                      "early_stop": early.early_stop},
+        }, f)
+
+
+def restore_schedule_state(directory: str, plateau: "ReduceLROnPlateau",
+                           early: "EarlyStopping") -> bool:
+    """Restore state written by :func:`save_schedule_state`. Returns True
+    if a schedule file was found (older checkpoints lack one)."""
+    import json
+    import os
+
+    path = os.path.join(directory, "schedule.json")
+    if not os.path.exists(path):
+        return False
+    with open(path) as f:
+        d = json.load(f)
+    plateau.lr = float(d["plateau"]["lr"])
+    plateau.best = float(d["plateau"]["best"])
+    plateau.num_bad = int(d["plateau"]["num_bad"])
+    bs = d["early"]["best_score"]
+    early.best_score = None if bs is None else float(bs)
+    early.counter = int(d["early"]["counter"])
+    early.early_stop = bool(d["early"]["early_stop"])
+    return True
+
+
 @dataclass
 class ReduceLROnPlateau:
     """max-mode plateau LR decay (torch semantics, rel threshold 1e-4)."""

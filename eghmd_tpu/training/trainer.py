@@ -366,6 +366,12 @@ class Trainer:
         """
         if state is None:
             state = self.init_state(next(iter(valid_pipe)))
+        if checkpointer is not None and start_epoch > 0:
+            from .schedule import restore_schedule_state
+
+            if restore_schedule_state(checkpointer.directory, self.plateau,
+                                      self.early):
+                state = self.set_lr(state, self.plateau.lr)
         history = []
         for epoch in range(start_epoch, self.config.epochs):
             state, train_sum = self.run_epoch(state, train_pipe, epoch)
@@ -395,6 +401,10 @@ class Trainer:
                 )
             if checkpointer is not None:
                 checkpointer.save(epoch, state, is_best=improved)
+                from .schedule import save_schedule_state
+
+                save_schedule_state(checkpointer.directory, self.plateau,
+                                    self.early)
             if self.early.early_stop:
                 if self.log_fn:
                     self.log_fn(f"early stopping at epoch {epoch}")

@@ -26,11 +26,13 @@ def enable_persistent_cache(directory: str | None = None) -> str:
     directory = (directory or os.environ.get("JAX_COMPILATION_CACHE_DIR")
                  or os.path.join(os.path.expanduser("~"), ".cache",
                                  "eghmd_tpu", "xla"))
-    os.makedirs(directory, exist_ok=True)
+    # The cache is a nice-to-have on every entry point's critical path: an
+    # unwritable HOME must degrade to "no cache", never crash the CLI.
     try:
+        os.makedirs(directory, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", directory)
         # cache everything that takes meaningful compile time
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:  # pragma: no cover - older jax without these knobs
+    except Exception:  # pragma: no cover - unwritable dir / older jax
         pass
     return directory

@@ -46,6 +46,87 @@ class TestSegIoU:
         self._compare(y_true, y_pred, np.ones(4, bool))
 
 
+class TestRaggedAggregation:
+    """The evaluator's cross-batch aggregation must match the reference's
+    printout scheme EXACTLY under ragged cond patterns.
+
+    The reference accumulates per-batch nanmeans and nanmeans them once more
+    (ious.append(iou) + np.nanmean(np.stack(ious), 0) at test.py:216-221;
+    np.nanmean(dists_*) at test.py:235-238) — i.e. the printed numbers ARE
+    mean-of-batch-means. This fixture makes the distinction observable: with
+    batches of different valid-sample counts (including a fully-missing
+    batch and an absent class), mean-of-batch-means != mean-over-all-samples.
+    """
+
+    def _fixture(self):
+        rng = np.random.RandomState(23)
+        batches = []
+        # batch 0: all valid, all classes present
+        batches.append((rng.randint(0, 3, (4, 16, 16)),
+                        rng.randint(0, 3, (4, 16, 16)),
+                        np.zeros(4, bool)))
+        # batch 1: one valid sample only, class 2 absent from GT
+        batches.append((rng.randint(0, 2, (4, 16, 16)),
+                        rng.randint(0, 3, (4, 16, 16)),
+                        np.array([1, 1, 1, 0], bool)))
+        # batch 2: every mask annotation missing (NaN per-batch entry)
+        batches.append((rng.randint(0, 3, (4, 16, 16)),
+                        rng.randint(0, 3, (4, 16, 16)),
+                        np.ones(4, bool)))
+        return batches
+
+    def test_matches_reference_printout(self):
+        utils = import_reference("utils")
+        batches = self._fixture()
+
+        # reference aggregation: per-batch perClassIOU, nanmean over batches
+        ref_ious = [utils.getSeg_metrics(t, p, c)[1] for t, p, c in batches]
+        ref_pc = np.nanmean(np.stack(ref_ious, 0), axis=0)
+        ref_miou = np.mean(ref_pc)
+
+        # our aggregation, exactly as Evaluator.run does it
+        ours = [seg_iou_metrics(jnp.asarray(t), jnp.asarray(p),
+                                jnp.asarray(c.astype(np.float32)))
+                for t, p, c in batches]
+        our_pc = np.nanmean(np.stack([np.asarray(o[1]) for o in ours]), 0)
+        our_miou = float(np.mean(our_pc))
+        np.testing.assert_allclose(our_pc, ref_pc, rtol=1e-5, equal_nan=True)
+        np.testing.assert_allclose(our_miou, ref_miou, rtol=1e-5)
+
+        # the per-sample alternative aggregation demonstrably differs on
+        # this ragged fixture — so matching the printout is a real constraint
+        by_sample = np.concatenate([np.asarray(o[2]) for o in ours], 0)
+        ps_pc = np.nanmean(by_sample, axis=0)
+        assert not np.allclose(np.nanmean(ps_pc), our_miou, rtol=1e-3)
+
+    def test_distance_aggregation_matches_reference(self):
+        utils = import_reference("utils")
+        rng = np.random.RandomState(5)
+        ref_batch_means, our_batch_means = [], []
+        dists_all, flags_all = [], []
+        conds = [np.array([0, 1, 0, 0], bool), np.array([1, 1, 1, 1], bool),
+                 np.array([0, 1, 1, 1], bool)]
+        for cond in conds:
+            y_true = rng.uniform(0, 200, (4, 2))
+            y_pred = rng.uniform(-1, 1, (4, 2))
+            rm, _ = utils.getPoint_metric(y_true.copy(), y_pred.copy(), cond,
+                                          (240, 320), True)
+            m, d = point_metric(jnp.asarray(y_true), jnp.asarray(y_pred),
+                                jnp.asarray(cond.astype(np.float32)),
+                                (240, 320), True)
+            ref_batch_means.append(rm)
+            our_batch_means.append(float(m))
+            dists_all.append(np.asarray(d))
+            flags_all.append(1.0 - cond.astype(np.float64))
+        # printed value: nanmean over per-batch means (test.py:235-238)
+        np.testing.assert_allclose(np.nanmean(our_batch_means),
+                                   np.nanmean(ref_batch_means), rtol=1e-5)
+        # and it differs from the single pass over all samples here
+        d, f = np.concatenate(dists_all), np.concatenate(flags_all)
+        assert not np.allclose(d.sum() / f.sum(),
+                               np.nanmean(ref_batch_means), rtol=1e-3)
+
+
 class TestDistances:
     def test_point_metric_parity(self):
         utils = import_reference("utils")
