@@ -154,13 +154,18 @@ def build_datasets(args, aug_train=True):
 def build_edge_fn(args, dtype):
     """Frozen BDCN edge function, or None to use the batch's edge maps.
 
-    ``--bdcn_weights random`` builds a randomly initialized BDCN (the
-    pretrained ``gen_00000016.pt`` blob is not shipped in the reference
-    either, .MISSING_LARGE_BLOBS:2) so the full two-stage pipeline can be
-    exercised end-to-end.
+    ``--bdcn_weights`` accepts:
+      * ``random`` — a randomly initialized BDCN (the pretrained
+        ``gen_00000016.pt`` blob is not shipped in the reference either,
+        .MISSING_LARGE_BLOBS:2) so the two-stage pipeline can be exercised;
+      * a directory — an orbax checkpoint from ``cli/train_bdcn.py`` (the
+        in-repo BDCN self-training recipe, training/bdcn_train.py);
+      * a file — the reference's torch BDCN checkpoint, converted.
     """
     if not args.bdcn_weights:
         return None
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -172,6 +177,10 @@ def build_edge_fn(args, dtype):
         bdcn = BDCN(dtype=dtype)
         variables = jax.jit(bdcn.init)(
             jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32))
+    elif os.path.isdir(args.bdcn_weights):
+        from eghmd_tpu.training.bdcn_train import load_bdcn_checkpoint
+
+        variables = load_bdcn_checkpoint(args.bdcn_weights)
     else:
         from eghmd_tpu.utils.torch_convert import load_reference_bdcn_checkpoint
 

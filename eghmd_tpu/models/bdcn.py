@@ -129,13 +129,16 @@ class MSBlock(nn.Module):
 
 
 class BDCN(nn.Module):
-    """Full BDCN; returns the 11 sigmoid maps [p1_1..p5_1, p1_2..p5_2, fuse]."""
+    """Full BDCN; returns the 11 sigmoid maps [p1_1..p5_1, p1_2..p5_2, fuse]
+    (reference bdcn_new.py:165-191). ``logits=True`` returns the pre-sigmoid
+    maps instead — the numerically stable surface for the class-balanced BCE
+    training objective (training/bdcn_train.py)."""
 
     rate: int = 4
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, logits: bool = False):
         b, h, w, _ = x.shape
         feats = VGG16C(dtype=self.dtype, name="features")(x)
 
@@ -182,6 +185,8 @@ class BDCN(nn.Module):
 
         cascade = [p1_1, p2_1, p3_1, p4_1, p5_1, p1_2, p2_2, p3_2, p4_2, p5_2]
         fuse = c1x1(1, "fuse")(jnp.concatenate(cascade, axis=-1))
+        if logits:
+            return cascade + [fuse]
         return [jax.nn.sigmoid(p) for p in cascade] + [jax.nn.sigmoid(fuse)]
 
 

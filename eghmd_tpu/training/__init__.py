@@ -2,8 +2,18 @@ from .schedule import alpha_schedule, ReduceLROnPlateau, EarlyStopping, composit
 from .trainer import TrainState, Trainer, make_train_step, make_eval_step
 from .distill import (DistillConfig, DistillTrainer, make_distill_step,
                       make_fidelity_step, evaluate_fidelity, distill_gate)
+from .bdcn_train import (BDCNTrainer, boundary_map_from_labels, bdcn_loss,
+                         class_balanced_bce, edge_f1, load_bdcn_checkpoint,
+                         save_bdcn_checkpoint)
 
 __all__ = [
+    "BDCNTrainer",
+    "boundary_map_from_labels",
+    "bdcn_loss",
+    "class_balanced_bce",
+    "edge_f1",
+    "load_bdcn_checkpoint",
+    "save_bdcn_checkpoint",
     "DistillConfig",
     "DistillTrainer",
     "make_distill_step",
