@@ -95,6 +95,64 @@ def run_one(dtype, batch_frames, refine, edge_downscale, seg_downscale,
     return fps, extras
 
 
+def train_cost_analysis(batch=16, size=(240, 320)):
+    """XLA cost analysis of the full jitted train step (frozen BDCN edge +
+    fwd + bwd + adam + metrics) at the reference training operating point
+    (240x320 per eye, bf16, remat) — the chip-meaningful training number.
+
+    Wall-clock training throughput is NOT publishable from this box: the
+    experimental axon tunnel adds ~1 s/step dispatch latency that dwarfs
+    device time (CLAUDE.md), so we publish the compiled step's model
+    FLOPs/bytes instead and derive a roofline-bound step time.
+    """
+    from eghmd_tpu.config import ExperimentConfig
+    from eghmd_tpu.models import build_model
+    from eghmd_tpu.models.bdcn import BDCN, make_edge_fn
+    from eghmd_tpu.models.blocks import LinStack
+    from eghmd_tpu.training import Trainer
+
+    h, w = size
+    cfg = ExperimentConfig(setting="baseline_edge", prec="bfloat16",
+                           batchsize=batch, image_size=size, remat=True,
+                           disentangle=True)
+    model = build_model("ritnet_v2", cfg.variant, cfg.dtype, remat=True)
+    bdcn = BDCN(dtype=cfg.dtype)
+    bdcn_vars = jax.jit(bdcn.init)(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, h, w, 3), jnp.float32))
+    trainer = Trainer(cfg, model, ds_head=LinStack(64, 2, num_layers=2,
+                                                   act=False),
+                      edge_fn=make_edge_fn(bdcn_vars, dtype=cfg.dtype),
+                      log_fn=None)
+    z = np.zeros
+    batch_arrays = {
+        "image": z((batch, h, w, 1), np.float32),
+        "edge": z((batch, h, w, 1), np.float32),
+        "target": np.ones((batch, h, w), np.int32),
+        "spat_weights": z((batch, h, w), np.float32),
+        "dist_map": z((batch, h, w, 3), np.float32),
+        "pupil_center": z((batch, 2), np.float32),
+        "iris_center": z((batch, 2), np.float32),
+        "el_norm": z((batch, 2, 5), np.float32),
+        "cond": z((batch, 4), np.float32),
+        "im_info": z((batch, 3), np.int32),
+    }
+    batch_arrays = {k: jnp.asarray(v) for k, v in batch_arrays.items()}
+    state = trainer.init_state(batch_arrays)
+    compiled = trainer.train_step.lower(state, batch_arrays, 0.5).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    gf_step = ca.get("flops", 0.0) / 1e9
+    gb_step = ca.get("bytes accessed", 0.0) / 1e9
+    return {
+        "train_gflops_per_step": round(gf_step, 1),
+        "train_gbytes_per_step": round(gb_step, 2),
+        "train_batch": batch,
+        # HBM roofline bound at the serving-measured ~640 GB/s deliverable
+        "train_steps_per_sec_roofline": round(640.0 / max(gb_step, 1e-9), 1),
+    }
+
+
 def main():
     import argparse
 
@@ -127,6 +185,9 @@ def main():
     p.add_argument("--no-student", action="store_true",
                    help="skip the distilled-student serving measurement "
                         "that accompanies the default parity run")
+    p.add_argument("--no-train-cost", action="store_true",
+                   help="skip the train-step XLA cost analysis (model "
+                        "FLOPs/bytes per step at 240x320 b16 bf16 remat)")
     p.add_argument("--profile-dir", default="",
                    help="non-empty: capture a jax.profiler device trace of "
                         "a few serving steps into this directory "
@@ -221,6 +282,18 @@ def main():
         except Exception as e:  # pragma: no cover - auxiliary measurement
             print(f"student measurement failed: {e}", file=sys.stderr)
 
+    train_cost = {}
+    if not args.no_train_cost and not args.refine:
+        try:
+            train_cost = train_cost_analysis()
+            print(f"train step (240x320 b16 bf16 remat): "
+                  f"{train_cost['train_gflops_per_step']} GF/step, "
+                  f"{train_cost['train_gbytes_per_step']} GB/step "
+                  f"(~{train_cost['train_steps_per_sec_roofline']} steps/s "
+                  f"at the HBM roofline)", file=sys.stderr)
+        except Exception as e:  # pragma: no cover - auxiliary measurement
+            print(f"train cost analysis failed: {e}", file=sys.stderr)
+
     metric = "e2e_dual_eye_inference_fps_640x400"
     if args.refine:
         metric += "_refined"
@@ -236,6 +309,7 @@ def main():
         "chz": args.chz,
         **extras,
         **student,
+        **train_cost,
     }))
 
 

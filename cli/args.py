@@ -65,6 +65,11 @@ def parse_args(argv=None, train=True):
                    help="rematerialize encoder/decoder in the backward pass "
                         "(jax.checkpoint): fits 240x320 batch>=16 f32 "
                         "training on a 16 GB chip")
+    p.add_argument("--no_overlay", type=int, default=0,
+                   help="video eval: skip the overlay + edge mp4 outputs "
+                        "(host-encode cost) and write only the per-frame "
+                        "ellipse .npy and center pickle — the "
+                        "production-shaped serving path")
     p.add_argument("--log_dir", type=str, default="logs")
     p.add_argument("--profile_dir", type=str, default="",
                    help="capture a jax.profiler trace of the first steps")

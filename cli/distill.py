@@ -71,6 +71,12 @@ def parse_args(argv=None):
     p.add_argument("--bdcn_weights", type=str, default="")
     p.add_argument("--edge_downscale", type=int, default=1)
     p.add_argument("--edge_thres", type=int, default=0)
+    p.add_argument("--real_video", type=str,
+                   default="/root/reference/videos/example1.avi",
+                   help="no-GT teacher<->student agreement pass over real "
+                        "dual-eye frames (the reference's shipped demo clip "
+                        "by default; '' disables)")
+    p.add_argument("--real_frames", type=int, default=64)
     return p.parse_args(argv)
 
 
@@ -169,8 +175,22 @@ def main(argv=None):
     fid = evaluate_fidelity(trainer.fidelity_step, state, trainer.teacher_vars,
                             valid_pipe)
     accepted = distill_gate(fid, args.max_miou_drop, args.min_agreement)
+    if args.real_video and (args.image_height, args.image_width) == (240, 320):
+        # the serving-shaped students only: real frames are preprocessed to
+        # the 240x320 serving geometry (reference evaluate.py:247)
+        from eghmd_tpu.training import real_frame_agreement
+
+        variant = cfg.variant
+        real = real_frame_agreement(
+            trainer.student, trainer.teacher, state, trainer.teacher_vars,
+            args.real_video, edge_fn=trainer.edge_fn,
+            edge_thres=bool(variant.edge_thres or cfg.edge_thres),
+            n_frames=args.real_frames)
+        if real is not None:
+            fid.update(real)
     print(json.dumps({"student_chz": args.chz, "student_setting": args.setting,
-                      **{k: round(v, 4) for k, v in fid.items()},
+                      **{k: round(v, 4) if isinstance(v, float) else v
+                         for k, v in fid.items()},
                       "accepted": bool(accepted)}))
     return fid, accepted
 

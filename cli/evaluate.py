@@ -57,7 +57,8 @@ def main(argv=None):
         # write next to the video unless the source tree is read-only
         out_dir = args.visual_dir if args.visual_dir != "iris" else \
             os.path.join(os.path.dirname(v), "output")
-        vp.process_video(v, out_dir, method=args.method)
+        vp.process_video(v, out_dir, method=args.method,
+                         write_videos=not args.no_overlay)
     print(f"processed {len(vids)} videos")
 
 

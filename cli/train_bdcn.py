@@ -27,7 +27,7 @@ from cli.args import build_datasets
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--prec", type=int, default=32)
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--batchsize", type=int, default=8)

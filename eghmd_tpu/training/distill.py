@@ -185,6 +185,92 @@ def evaluate_fidelity(fidelity_step, state, teacher_vars, pipeline,
     return out
 
 
+def real_frame_agreement(student, teacher, state, teacher_vars,
+                         video_path: str, edge_fn=None, edge_thres=False,
+                         n_frames: int = 64, batch: int = 16,
+                         eye_size=(240, 320)):
+    """No-ground-truth teacher<->student agreement on REAL video frames.
+
+    The synthetic gate says nothing about the real-frame distribution; this
+    pass needs no labels: it decodes up to ``n_frames`` dual-eye frames from
+    ``video_path`` (the reference's shipped demo ``videos/example1.avi`` —
+    its serving config hardcodes that clip, evaluate.py:357-358), splits the
+    eyes at x=W/2 (evaluate.py:242-243), preprocesses exactly like the
+    serving path, and reports the student's argmax-seg agreement with the
+    teacher plus the seg-derived pupil-center delta in pixels.
+
+    Returns {"real_agreement_miou", "real_pup_c_delta_px", "real_frames"}
+    or None when the video cannot be read.
+    """
+    import os
+
+    from ..inference.preprocess import preprocess_frames, split_dual_eye
+    from ..ops import seg_centers
+    from ..geometry.points import unnorm_pts
+
+    if not os.path.exists(video_path):
+        return None
+    try:
+        import cv2
+
+        cap = cv2.VideoCapture(video_path)
+        frames = []
+        while len(frames) < n_frames:
+            ok, fr = cap.read()
+            if not ok:
+                break
+            if fr.ndim == 3:
+                fr = cv2.cvtColor(fr, cv2.COLOR_BGR2GRAY)
+            frames.append(fr)
+        cap.release()
+    except Exception:
+        return None
+    if not frames:
+        return None
+    frames = np.stack(frames)
+
+    h, w = eye_size
+
+    @jax.jit
+    def agree_step(params, batch_stats, teacher_vars, raw):
+        if raw.shape[2] >= 2 * w:
+            left, right = split_dual_eye(raw)
+            eyes = jnp.concatenate([left, right], axis=0)
+        else:
+            eyes = raw
+        img, _ = preprocess_frames(eyes, eye_size)
+        edge = (jnp.zeros_like(img) if edge_fn is None else edge_fn(img))
+        edge = _apply_edge_threshold(edge, edge_thres)
+        op_s, _, _ = student.apply(
+            {"params": params, "batch_stats": batch_stats}, img, edge,
+            train=False)
+        op_t, _, _ = teacher.apply(teacher_vars, img, edge, train=False)
+        a_t = jnp.argmax(op_t, axis=-1)
+        a_s = jnp.argmax(op_s, axis=-1)
+        agree, _, _ = seg_iou_metrics(
+            a_t, a_s, jnp.zeros((a_t.shape[0],), jnp.float32))
+        c_t = unnorm_pts(seg_centers(op_t)[:, 1], (h, w), jnp)
+        c_s = unnorm_pts(seg_centers(op_s)[:, 1], (h, w), jnp)
+        delta = jnp.mean(jnp.sqrt(jnp.sum((c_t - c_s) ** 2, axis=-1)))
+        return agree, delta
+
+    agrees, deltas = [], []
+    for i in range(0, frames.shape[0], batch):
+        chunk = frames[i: i + batch]
+        if chunk.shape[0] < batch:  # keep one compiled shape
+            pad = np.repeat(chunk[-1:], batch - chunk.shape[0], axis=0)
+            chunk = np.concatenate([chunk, pad], axis=0)
+        a, d = agree_step(state.params, state.batch_stats, teacher_vars,
+                          jnp.asarray(chunk, jnp.float32))
+        agrees.append(float(a))
+        deltas.append(float(d))
+    return {
+        "real_agreement_miou": float(np.nanmean(agrees)),
+        "real_pup_c_delta_px": float(np.nanmean(deltas)),
+        "real_frames": int(frames.shape[0]),
+    }
+
+
 def distill_gate(fidelity: dict, max_miou_drop: float = 0.02,
                  min_agreement: float = 0.90) -> bool:
     """Acceptance gate for a distilled serving student.

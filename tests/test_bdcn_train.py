@@ -104,11 +104,11 @@ def test_bdcn_learns_synthetic_edges(tmp_path):
     build_edge_fn's loader."""
     ds = SyntheticEyeDataset(16, (64, 96), aug=False, seed=4)
     pipe = DataPipeline(ds, batch_size=4, shuffle=True, num_workers=2)
-    trainer = BDCNTrainer(lr=3e-4, dilate=1)
-    params, history = trainer.fit(pipe, epochs=4,
+    trainer = BDCNTrainer(lr=1e-3, dilate=1)
+    params, history = trainer.fit(pipe, epochs=8,
                                   checkpoint_dir=str(tmp_path))
-    assert history[-1]["loss"] < history[0]["loss"] * 0.9
-    assert history[-1]["f1"] > 0.15, history
+    assert history[-1]["loss"] < history[0]["loss"] * 0.85, history
+    assert history[-1]["f1"] > 0.25, history
 
     variables = load_bdcn_checkpoint(str(tmp_path))
     model = BDCN()
