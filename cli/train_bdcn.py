@@ -35,6 +35,9 @@ def parse_args(argv=None):
     p.add_argument("--dilate", type=int, default=1,
                    help="boundary-band half-width in px for the supervision "
                         "maps")
+    p.add_argument("--resume", type=int, default=0,
+                   help="continue from this expname's checkpoint for "
+                        "--epochs MORE epochs (fresh optimizer)")
     p.add_argument("--expname", type=str, default="dev")
     p.add_argument("--log_dir", type=str, default="logs")
     # data (same flags as cli/train.py)
@@ -68,8 +71,14 @@ def main(argv=None):
 
     trainer = BDCNTrainer(lr=args.lr, dilate=args.dilate, dtype=dtype)
     ckpt_dir = os.path.join(args.log_dir, "bdcn", args.expname, "checkpoints")
+    params = None
+    if args.resume and os.path.isdir(os.path.join(ckpt_dir, "bdcn")):
+        from eghmd_tpu.training import load_bdcn_checkpoint
+
+        params = load_bdcn_checkpoint(ckpt_dir)["params"]
+        print(f"resumed BDCN params from {ckpt_dir}")
     params, history = trainer.fit(train_pipe, valid_pipe, epochs=args.epochs,
-                                  checkpoint_dir=ckpt_dir)
+                                  checkpoint_dir=ckpt_dir, params=params)
     final = history[-1]
     print(json.dumps({
         "checkpoint": ckpt_dir,

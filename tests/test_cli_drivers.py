@@ -152,3 +152,36 @@ class TestDispGrid:
         grid = generate_image_grid(imgs, preds, pred_ellipses=ells, cols=2)
         assert grid.shape == (2 * 32, 2 * 48, 3)
         assert grid.dtype == np.uint8
+
+
+class TestEdgeAgreement:
+    @pytest.mark.slow  # compiles BDCN at three resolutions on the 1-CPU mesh
+    def test_real_frame_edge_stats(self, tmp_path):
+        """cli/edge_agreement.py end-to-end on a tiny synthetic clip.
+
+        Mirrors the reference's demo-video serving input (evaluate.py:357-358)
+        at a small resolution: writes a 4-frame avi, runs the CLI with a
+        random BDCN, and checks the JSON stats are well-formed (density in
+        [0,1], fast-edge F1 vs full defined for every factor)."""
+        import cv2
+
+        from cli.edge_agreement import main
+
+        path = str(tmp_path / "clip.avi")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10,
+                            (128, 96))
+        rng = np.random.RandomState(0)
+        for _ in range(4):
+            frame = rng.randint(0, 255, (96, 128), np.uint8)
+            cv2.circle(frame, (64, 48), 20, 40, -1)
+            w.write(cv2.cvtColor(frame, cv2.COLOR_GRAY2BGR))
+        w.release()
+
+        out = main([
+            "--bdcn_weights", "random", "--video", path, "--frames", "4",
+            "--factors", "2", "--image_height", "48", "--image_width", "64",
+        ])
+        assert out["frames"] == 4
+        assert 0.0 <= out["edge_density_full"] <= 1.0
+        assert 0.0 <= out["fast2_f1_vs_full"] <= 1.0
+        assert 0.0 <= out["fast2_density"] <= 1.0
