@@ -48,6 +48,7 @@ def main(argv=None):
     enable_persistent_cache()
 
     import numpy as np
+    import jax
     import jax.numpy as jnp
 
     from cli.args import build_edge_fn
@@ -79,7 +80,9 @@ def main(argv=None):
             image_height = args.image_height
             image_width = args.image_width
 
-        fn = build_edge_fn(_A, jnp.float32)
+        # jit the whole extraction: unjitted, each BDCN op dispatches
+        # separately over the axon tunnel (~1 s/dispatch on this image)
+        fn = jax.jit(build_edge_fn(_A, jnp.float32))
         return np.asarray(fn(eyes))[..., 0]
 
     full = edge_at(1)
