@@ -41,6 +41,13 @@ def parse_args(argv=None):
                         "single-encoder-pass input_concat variant)")
     p.add_argument("--chz", type=int, default=16, help="student width")
     p.add_argument("--growth", type=float, default=1.2)
+    p.add_argument("--seg_downscale", type=int, default=1,
+                   help="student fast-seg factor, TRAINED THROUGH: the "
+                        "student decodes at 1/N and learns to place "
+                        "boundaries via the bilinear logits upsample, so "
+                        "the gate covers the exact serving shape (post-hoc "
+                        "downscales fail the gate at trained checkpoints — "
+                        "BASELINE.md)")
     # distillation
     p.add_argument("--temperature", type=float, default=4.0)
     p.add_argument("--w_seg", type=float, default=20.0)
@@ -49,6 +56,12 @@ def parse_args(argv=None):
                    help="ground-truth loss mix-in weight (0 = pure KD)")
     p.add_argument("--max_miou_drop", type=float, default=0.02)
     p.add_argument("--min_agreement", type=float, default=0.90)
+    p.add_argument("--init_from_teacher", type=int, default=0,
+                   help="bootstrap the student from the teacher's weights "
+                        "(requires identical architecture, e.g. shortcut "
+                        "calibration: same chz/setting, only the serving "
+                        "downscales differ — seg_downscale is checkpoint-"
+                        "compatible, models/esfnet.py)")
     # run
     p.add_argument("--resume", type=int, default=0,
                    help="restore the latest student checkpoint for this "
@@ -137,9 +150,22 @@ def main(argv=None):
     teacher = build_model("ritnet_v2", t_variant, cfg.dtype,
                           chz=args.teacher_chz, growth=args.teacher_growth)
     student = build_model("ritnet_v2", s_variant, cfg.dtype,
-                          chz=args.chz, growth=args.growth)
+                          chz=args.chz, growth=args.growth,
+                          seg_downscale=args.seg_downscale)
     teacher_vars = load_teacher_vars(args.teacher_ckpt, teacher, t_variant,
                                      cfg.image_size)
+
+    # when the student serves with a degraded fast-edge input, the KD
+    # target should be the teacher at FULL edge fidelity
+    teacher_edge_fn = None
+    if args.edge_downscale > 1 and args.bdcn_weights:
+        class _FullEdge:
+            bdcn_weights = args.bdcn_weights
+            edge_downscale = 1
+            image_height = args.image_height
+            image_width = args.image_width
+
+        teacher_edge_fn = build_edge_fn(_FullEdge, cfg.dtype)
 
     train_ds, valid_ds, _ = build_datasets(args)
     trainer = DistillTrainer(
@@ -147,6 +173,7 @@ def main(argv=None):
         distill=DistillConfig(args.temperature, args.w_seg, args.w_el,
                               args.w_gt),
         edge_fn=build_edge_fn(args, cfg.dtype),
+        teacher_edge_fn=teacher_edge_fn,
     )
     sharding = batch_sharding(trainer.mesh)
     train_pipe = DataPipeline(train_ds, cfg.batchsize, sharding=sharding,
@@ -157,6 +184,35 @@ def main(argv=None):
     log_dir = os.path.join(cfg.log_dir, "distill", args.expname)
     ckpt = CheckpointManager(os.path.join(log_dir, "checkpoints"))
     state, start_epoch = None, 0
+    if args.init_from_teacher and not args.resume:
+        import jax
+
+        from eghmd_tpu.parallel import replicated_sharding
+
+        state = trainer.init_state(next(iter(valid_pipe)))
+        same = (jax.tree_util.tree_structure(state.params)
+                == jax.tree_util.tree_structure(teacher_vars["params"])
+                and all(a.shape == b.shape for a, b in zip(
+                    jax.tree.leaves(state.params),
+                    jax.tree.leaves(teacher_vars["params"]))))
+        if not same:
+            raise SystemExit(
+                "--init_from_teacher needs an architecture-identical "
+                "student (same setting/chz/growth; only serving "
+                "downscales may differ)")
+        # deep-copy: the student state is DONATED every step while
+        # teacher_vars stays a live argument — aliased buffers would be
+        # "use after donate" (f(donate(a), a)) on the first step
+        import jax.numpy as jnp
+
+        copy = lambda tree: jax.tree.map(lambda t: jnp.array(t, copy=True),
+                                         tree)
+        state = state._replace(
+            params=copy(teacher_vars["params"]),
+            batch_stats=copy(teacher_vars.get("batch_stats",
+                                              state.batch_stats)))
+        state = jax.device_put(state, replicated_sharding(trainer.mesh))
+        print("student bootstrapped from teacher weights")
     if args.resume and ckpt.latest_epoch() is not None:
         import jax
 
@@ -185,10 +241,13 @@ def main(argv=None):
             trainer.student, trainer.teacher, state, trainer.teacher_vars,
             args.real_video, edge_fn=trainer.edge_fn,
             edge_thres=bool(variant.edge_thres or cfg.edge_thres),
-            n_frames=args.real_frames)
+            n_frames=args.real_frames,
+            teacher_edge_fn=trainer.teacher_edge_fn)
         if real is not None:
             fid.update(real)
     print(json.dumps({"student_chz": args.chz, "student_setting": args.setting,
+                      "seg_downscale": args.seg_downscale,
+                      "edge_downscale": args.edge_downscale,
                       **{k: round(v, 4) if isinstance(v, float) else v
                          for k, v in fid.items()},
                       "accepted": bool(accepted)}))

@@ -63,22 +63,28 @@ class DistillConfig:
 
 
 def make_distill_step(student, teacher, tx, distill: DistillConfig,
-                      edge_fn=None, edge_thres=False, donate=True):
+                      edge_fn=None, edge_thres=False, donate=True,
+                      teacher_edge_fn=None):
     """Build the jitted distillation step.
 
     student / teacher: flax modules with ``apply(vars, img, edge, train)``
         returning ``(op, el_out, latent)`` (latent widths may differ).
     Teacher variables are a step argument (frozen; never updated).
+    ``teacher_edge_fn``: when the student serves with a degraded edge input
+        (fast-edge), pass the full-resolution extractor here so the KD
+        target is the teacher at its BEST fidelity, not the teacher under
+        the student's serving approximation. Defaults to the student's.
     """
 
     T = float(distill.temperature)
 
-    def loss_fn(params, batch_stats, teacher_vars, batch, edge, alpha):
+    def loss_fn(params, batch_stats, teacher_vars, batch, edge, t_edge,
+                alpha):
         (op_s, el_s, _), mut = student.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["image"], edge, train=True, mutable=["batch_stats"],
         )
-        op_t, el_t, _ = teacher.apply(teacher_vars, batch["image"], edge,
+        op_t, el_t, _ = teacher.apply(teacher_vars, batch["image"], t_edge,
                                       train=False)
         op_t = jax.lax.stop_gradient(op_t.astype(jnp.float32))
         el_t = jax.lax.stop_gradient(el_t.astype(jnp.float32))
@@ -104,9 +110,15 @@ def make_distill_step(student, teacher, tx, distill: DistillConfig,
     def distill_step(state: TrainState, teacher_vars, batch, alpha):
         edge = batch["edge"] if edge_fn is None else edge_fn(batch["image"])
         edge = jax.lax.stop_gradient(_apply_edge_threshold(edge, edge_thres))
+        if teacher_edge_fn is None:
+            t_edge = edge
+        else:
+            t_edge = jax.lax.stop_gradient(_apply_edge_threshold(
+                teacher_edge_fn(batch["image"]), edge_thres))
         (loss, (new_bs, op_s, op_t, aux)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, state.batch_stats, teacher_vars, batch, edge, alpha)
+        )(state.params, state.batch_stats, teacher_vars, batch, edge, t_edge,
+          alpha)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
 
@@ -123,16 +135,22 @@ def make_distill_step(student, teacher, tx, distill: DistillConfig,
     return jax.jit(distill_step, donate_argnums=(0,) if donate else ())
 
 
-def make_fidelity_step(student, teacher, edge_fn=None, edge_thres=False):
+def make_fidelity_step(student, teacher, edge_fn=None, edge_thres=False,
+                       teacher_edge_fn=None):
     """Jitted eval: student-vs-teacher agreement + both models' GT metrics."""
 
     def fidelity_step(params, batch_stats, teacher_vars, batch):
         edge = batch["edge"] if edge_fn is None else edge_fn(batch["image"])
         edge = _apply_edge_threshold(edge, edge_thres)
+        if teacher_edge_fn is None:
+            t_edge = edge
+        else:
+            t_edge = _apply_edge_threshold(teacher_edge_fn(batch["image"]),
+                                           edge_thres)
         op_s, el_s, _ = student.apply(
             {"params": params, "batch_stats": batch_stats},
             batch["image"], edge, train=False)
-        op_t, el_t, _ = teacher.apply(teacher_vars, batch["image"], edge,
+        op_t, el_t, _ = teacher.apply(teacher_vars, batch["image"], t_edge,
                                       train=False)
         agree, _, _ = seg_iou_metrics(
             jnp.argmax(op_t, axis=-1), jnp.argmax(op_s, axis=-1),
@@ -188,7 +206,7 @@ def evaluate_fidelity(fidelity_step, state, teacher_vars, pipeline,
 def real_frame_agreement(student, teacher, state, teacher_vars,
                          video_path: str, edge_fn=None, edge_thres=False,
                          n_frames: int = 64, batch: int = 16,
-                         eye_size=(240, 320)):
+                         eye_size=(240, 320), teacher_edge_fn=None):
     """No-ground-truth teacher<->student agreement on REAL video frames.
 
     The synthetic gate says nothing about the real-frame distribution; this
@@ -241,10 +259,14 @@ def real_frame_agreement(student, teacher, state, teacher_vars,
         img, _ = preprocess_frames(eyes, eye_size)
         edge = (jnp.zeros_like(img) if edge_fn is None else edge_fn(img))
         edge = _apply_edge_threshold(edge, edge_thres)
+        if teacher_edge_fn is None:
+            t_edge = edge
+        else:
+            t_edge = _apply_edge_threshold(teacher_edge_fn(img), edge_thres)
         op_s, _, _ = student.apply(
             {"params": params, "batch_stats": batch_stats}, img, edge,
             train=False)
-        op_t, _, _ = teacher.apply(teacher_vars, img, edge, train=False)
+        op_t, _, _ = teacher.apply(teacher_vars, img, t_edge, train=False)
         a_t = jnp.argmax(op_t, axis=-1)
         a_s = jnp.argmax(op_s, axis=-1)
         agree, _, _ = seg_iou_metrics(
@@ -298,6 +320,9 @@ class DistillTrainer:
     teacher_vars: Any
     distill: DistillConfig = DistillConfig()
     edge_fn: Optional[Callable] = None
+    # full-fidelity edge extractor for the teacher when the student serves
+    # with a degraded (fast-edge) one; None = teacher shares edge_fn
+    teacher_edge_fn: Optional[Callable] = None
     log_fn: Optional[Callable] = print
 
     def __post_init__(self):
@@ -311,10 +336,10 @@ class DistillTrainer:
         self.distill_step = make_distill_step(
             self.student, self.teacher, self.tx, self.distill,
             edge_fn=self.edge_fn, edge_thres=edge_thres,
-            donate=cfg.donate_state)
+            donate=cfg.donate_state, teacher_edge_fn=self.teacher_edge_fn)
         self.fidelity_step = make_fidelity_step(
             self.student, self.teacher, edge_fn=self.edge_fn,
-            edge_thres=edge_thres)
+            edge_thres=edge_thres, teacher_edge_fn=self.teacher_edge_fn)
         # teacher variables are replicated once and reused every step
         self.teacher_vars = jax.device_put(
             self.teacher_vars, replicated_sharding(self.mesh))

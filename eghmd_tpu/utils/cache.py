@@ -23,6 +23,17 @@ def enable_persistent_cache(directory: str | None = None) -> str:
     """
     import jax
 
+    # This image's sitecustomize registers the experimental TPU platform and
+    # PINS jax_platforms at interpreter startup, silently overriding the
+    # standard JAX_PLATFORMS env contract. Every entry point routes through
+    # here, so restore the contract: an explicit JAX_PLATFORMS=cpu (used by
+    # subprocess tests and the virtual multi-chip mesh) must win.
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:  # pragma: no cover - backend already initialized
+            pass
+
     directory = (directory or os.environ.get("JAX_COMPILATION_CACHE_DIR")
                  or os.path.join(os.path.expanduser("~"), ".cache",
                                  "eghmd_tpu", "xla"))

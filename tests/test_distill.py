@@ -167,3 +167,59 @@ def test_distill_cli_smoke(tmp_path):
     line = out.stdout.strip().splitlines()[-1]
     rec = json.loads(line)
     assert "accepted" in rec and "agreement_miou" in rec
+
+
+class TestServingShapeDistill:
+    """Shortcut-calibrated distillation: the student TRAINS at its serving
+    configuration (seg_downscale decoder + fast-edge input) while the KD
+    target is the teacher at full fidelity. Post-hoc downscales fail the
+    gate at trained checkpoints (BASELINE.md round-2 gate table), so the
+    gate must cover the exact serving shape."""
+
+    def test_seg_downscale_student_trains_through(self):
+        cfg = ExperimentConfig(setting="baseline_input_concat", epochs=1,
+                               batchsize=8, image_size=SIZE, lr=1e-3)
+        t_variant = scaled_variant(VARIANT_PRESETS["baseline"], 8)
+        s_variant = scaled_variant(VARIANT_PRESETS["baseline_input_concat"], 8)
+        teacher = build_model("ritnet_v2", t_variant, chz=8)
+        student = build_model("ritnet_v2", s_variant, chz=8, seg_downscale=2)
+        x0 = jnp.zeros((1, *SIZE, 1), jnp.float32)
+        teacher_vars = jax.jit(
+            lambda r, a, b: teacher.init(r, a, b, train=False)
+        )(jax.random.PRNGKey(7), x0, x0)
+
+        # distinct teacher edge source (full-fidelity) vs student edge
+        calls = {"teacher": 0}
+
+        def student_edge(img):
+            return jnp.zeros_like(img)
+
+        def teacher_edge(img):
+            calls["teacher"] += 1  # traced once per compilation
+            return jnp.ones_like(img) * 0.5
+
+        trainer = DistillTrainer(cfg, student, teacher, teacher_vars,
+                                 distill=DistillConfig(w_gt=1.0),
+                                 edge_fn=student_edge,
+                                 teacher_edge_fn=teacher_edge, log_fn=None)
+        ds = SyntheticEyeDataset(16, SIZE, seed=5)
+        pipe = DataPipeline(ds, batch_size=8,
+                            sharding=batch_sharding(trainer.mesh),
+                            shuffle=False, num_workers=0)
+        batch = next(iter(pipe))
+        state = trainer.init_state(batch)
+        losses = []
+        for _ in range(4):
+            state, metrics = trainer.distill_step(state, trainer.teacher_vars,
+                                                  batch, 0.5)
+            losses.append(float(metrics["loss"]))
+        assert np.all(np.isfinite(losses))
+        assert losses[-1] < losses[0], losses
+        assert calls["teacher"] >= 1  # the teacher path was traced
+
+        # fidelity covers the serving shape: student decodes at 1/2 but
+        # emits full-res logits (bilinear upsample inside the model)
+        fid = evaluate_fidelity(trainer.fidelity_step, state,
+                                trainer.teacher_vars, pipe, max_batches=1)
+        assert np.isfinite(fid["miou_drop"])
+        assert 0.0 <= fid["agreement_miou"] <= 1.0
