@@ -90,6 +90,13 @@ def parse_args(argv=None):
                         "dual-eye frames (the reference's shipped demo clip "
                         "by default; '' disables)")
     p.add_argument("--real_frames", type=int, default=64)
+    p.add_argument("--real_mix", type=int, default=0,
+                   help="mix N teacher-pseudo-labeled real eye crops from "
+                        "--real_video into the student's TRAINING set (KD "
+                        "needs no labels; the teacher's argmax/centers/"
+                        "ellipse become the sample annotations) — closes "
+                        "the synthetic->real distribution gap the "
+                        "real_agreement metric measures; 0 disables")
     return p.parse_args(argv)
 
 
@@ -168,6 +175,27 @@ def main(argv=None):
         teacher_edge_fn = build_edge_fn(_FullEdge, cfg.dtype)
 
     train_ds, valid_ds, _ = build_datasets(args)
+    if args.real_mix:
+        if (args.image_height, args.image_width) != (240, 320):
+            raise SystemExit("--real_mix requires the 240x320 serving "
+                             "geometry (reference evaluate.py:247)")
+        from eghmd_tpu.data import ConcatDataset, ListDataset, decode_eye_crops
+        from eghmd_tpu.training import pseudo_label_real_samples
+
+        eyes = decode_eye_crops(args.real_video, args.real_mix)
+        if len(eyes):
+            # pseudo-label with the teacher at FULL edge fidelity
+            label_edge_fn = teacher_edge_fn or build_edge_fn(args, cfg.dtype)
+            t_var = resolve_variant(args.teacher_setting)
+            real_samples = pseudo_label_real_samples(
+                teacher, teacher_vars, eyes, edge_fn=label_edge_fn,
+                edge_thres=bool(t_var.edge_thres or args.edge_thres))
+            train_ds = ConcatDataset(train_ds, ListDataset(real_samples))
+            print(f"mixed {len(real_samples)} teacher-pseudo-labeled real "
+                  f"eye crops into the training set")
+        else:
+            print(f"real_mix: no frames decoded from {args.real_video}; "
+                  f"training on synthetic only")
     trainer = DistillTrainer(
         cfg, student, teacher, teacher_vars,
         distill=DistillConfig(args.temperature, args.w_seg, args.w_el,

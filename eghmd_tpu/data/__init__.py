@@ -8,7 +8,8 @@ from .hostops import (
 from .sample import assemble_sample, Sample, SAMPLE_KEYS
 from .synthetic import SyntheticEyeDataset, render_eye
 from .h5dataset import H5EyeDataset, write_h5_archive
-from .pipeline import DataPipeline, collate, Subset
+from .pipeline import DataPipeline, collate, Subset, ListDataset, ConcatDataset
+from .realframes import decode_eye_crops, eyes_from_frames
 
 __all__ = [
     "one_hot_to_dist",
@@ -26,4 +27,8 @@ __all__ = [
     "DataPipeline",
     "collate",
     "Subset",
+    "ListDataset",
+    "ConcatDataset",
+    "decode_eye_crops",
+    "eyes_from_frames",
 ]

@@ -50,6 +50,40 @@ class Subset:
         return self.dataset[i]
 
 
+class ListDataset:
+    """Indexable dataset over an in-memory list of Samples (e.g. teacher
+    pseudo-labeled real frames, ``training.distill.pseudo_label_real_samples``)."""
+
+    def __init__(self, samples):
+        self.samples = list(samples)
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        return self.samples[i]
+
+
+class ConcatDataset:
+    """Concatenation of sample datasets (mixes freely under the pipeline's
+    epoch shuffle — used to blend real pseudo-labeled frames into a
+    synthetic training set)."""
+
+    def __init__(self, *datasets):
+        self.datasets = datasets
+        self._offsets = np.cumsum([len(d) for d in datasets])
+
+    def __len__(self):
+        return int(self._offsets[-1]) if len(self.datasets) else 0
+
+    def __getitem__(self, i):
+        if not 0 <= i < len(self):
+            raise IndexError(i)
+        d = int(np.searchsorted(self._offsets, i, side="right"))
+        prev = int(self._offsets[d - 1]) if d else 0
+        return self.datasets[d][i - prev]
+
+
 class DataPipeline:
     """Iterable over device-resident batches with background prefetch.
 

@@ -293,6 +293,68 @@ def real_frame_agreement(student, teacher, state, teacher_vars,
     }
 
 
+def pseudo_label_real_samples(teacher, teacher_vars, eyes_u8,
+                              edge_fn=None, edge_thres=False,
+                              batch: int = 16):
+    """Teacher-pseudo-label raw eye crops into fully-annotated Samples.
+
+    Real frames carry no ground truth, but the TEACHER's outputs make
+    perfectly consistent training targets for a student: its argmax map
+    becomes the sample's seg label (plus the boundary weights and signed
+    distance maps the seg losses need, computed by the normal host ops —
+    reference CurriculumLib.py:128-136), its seg-derived centers become the
+    center annotations, and its regressed ellipse becomes ``el_norm``. The
+    resulting Samples have all-valid ``cond`` and mix freely with synthetic
+    ones in a distillation run — every GT loss term then pulls the student
+    toward the teacher on the REAL distribution, alongside the KD terms.
+
+    ``edge_fn`` should be the teacher's FULL-fidelity edge extractor (the
+    KD convention: the teacher is never degraded by the student's serving
+    shortcuts). Returns a list of :class:`~eghmd_tpu.data.sample.Sample`.
+    """
+    from ..data.hostops import boundary_weights, signed_distance_maps, standardize
+    from ..data.sample import Sample
+    from ..geometry.points import unnorm_pts
+    from ..ops import seg_centers
+
+    eyes_u8 = np.asarray(eyes_u8)
+    n, h, w = eyes_u8.shape
+
+    @jax.jit
+    def label_step(teacher_vars, img):
+        edge = jnp.zeros_like(img) if edge_fn is None else edge_fn(img)
+        edge = _apply_edge_threshold(edge, edge_thres)
+        op, el, _ = teacher.apply(teacher_vars, img, edge, train=False)
+        centers = unnorm_pts(seg_centers(op), (h, w), jnp)  # [B,2,2] px
+        return jnp.argmax(op, axis=-1), el.astype(jnp.float32), centers
+
+    samples = []
+    for i in range(0, n, batch):
+        chunk = eyes_u8[i: i + batch]
+        nb = chunk.shape[0]
+        if nb < batch:  # keep one compiled shape
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], batch - nb, axis=0)], axis=0)
+        imgs = np.stack([standardize(e) for e in chunk])[..., None]
+        tgt, el, centers = jax.device_get(
+            label_step(teacher_vars, jnp.asarray(imgs)))
+        for j in range(nb):
+            label = np.asarray(tgt[j], np.int32)
+            samples.append(Sample(
+                image=imgs[j].astype(np.float32),
+                edge=np.zeros_like(imgs[j], np.float32),
+                target=label,
+                spat_weights=boundary_weights(label),
+                dist_map=signed_distance_maps(label, 3),
+                pupil_center=np.asarray(centers[j, 1], np.float32),
+                iris_center=np.asarray(centers[j, 0], np.float32),
+                el_norm=np.asarray(el[j], np.float32).reshape(2, 5),
+                cond=np.zeros(4, np.float32),
+                im_info=np.asarray([i + j, 0, 0], np.int32),
+            ))
+    return samples
+
+
 def distill_gate(fidelity: dict, max_miou_drop: float = 0.02,
                  min_agreement: float = 0.90) -> bool:
     """Acceptance gate for a distilled serving student.

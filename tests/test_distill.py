@@ -132,6 +132,54 @@ def test_real_frame_agreement_mechanics(distill_setup, tmp_path):
                                 eye_size=SIZE) is None
 
 
+def test_real_mix_pseudo_labels(distill_setup):
+    """Teacher pseudo-labeling turns raw eye crops into fully-annotated
+    Samples (all-valid cond, teacher argmax as label, boundary weights /
+    distance maps computed from it) that concatenate with a synthetic set
+    and drive a distill step — the --real_mix path of cli/distill.py."""
+    from eghmd_tpu.data import (ConcatDataset, ListDataset, collate,
+                                eyes_from_frames)
+    from eghmd_tpu.data.pipeline import DataPipeline as DP
+    from eghmd_tpu.training import pseudo_label_real_samples
+
+    trainer, pipe = distill_setup
+
+    # dual-eye-wide frames split at the midline; odd height chops to SIZE
+    rng = np.random.RandomState(3)
+    frames = rng.randint(0, 255, (3, SIZE[0] + 20, 2 * SIZE[1]), np.uint8)
+    eyes = eyes_from_frames(frames, SIZE)
+    assert eyes.shape == (6, *SIZE)
+
+    samples = pseudo_label_real_samples(trainer.teacher, trainer.teacher_vars,
+                                        eyes, batch=4)
+    assert len(samples) == 6
+    s = samples[0]
+    assert s.image.shape == (*SIZE, 1) and s.target.shape == SIZE
+    assert set(np.unique(s.target)) <= {0, 1, 2}
+    np.testing.assert_array_equal(s.cond, np.zeros(4))  # all annotations valid
+    assert s.spat_weights.min() >= 1.0  # 1 + 20*boundary
+    assert s.dist_map.shape == (*SIZE, 3)
+    assert np.all(np.isfinite(s.el_norm)) and s.el_norm.shape == (2, 5)
+    # centers are inside the frame (px coords)
+    assert 0 <= s.pupil_center[0] <= SIZE[1] and 0 <= s.pupil_center[1] <= SIZE[0]
+
+    # mixes with the synthetic set and trains
+    from eghmd_tpu.data import SyntheticEyeDataset
+    from eghmd_tpu.parallel import batch_sharding
+
+    mixed = ConcatDataset(SyntheticEyeDataset(4, SIZE, seed=9),
+                          ListDataset(samples))
+    assert len(mixed) == 10
+    assert mixed[9].target.shape == SIZE  # indexes into the second dataset
+    mpipe = DP(mixed, batch_size=8, sharding=batch_sharding(trainer.mesh),
+               shuffle=True, num_workers=2)
+    state = trainer.init_state(next(iter(pipe)))
+    batch = next(iter(mpipe))
+    state, metrics = trainer.distill_step(state, trainer.teacher_vars,
+                                          batch, 0.5)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 @pytest.mark.slow
 def test_distill_fit_improves_agreement(distill_setup):
     """Two distillation epochs raise the student's agreement with the
