@@ -32,6 +32,25 @@ def _install_stubs():
         skimage.draw = types.ModuleType("skimage.draw")
         sys.modules["skimage"] = skimage
         sys.modules["skimage.draw"] = skimage.draw
+    draw_mod = sys.modules["skimage.draw"]
+    if not hasattr(draw_mod, "ellipse_perimeter"):
+        # drawing-only helper used by reference generateImageGrid
+        # (utils.py:316-343); outputs are overlay pixels, never metrics,
+        # so an angle-sampled perimeter is a faithful stand-in
+        def _ellipse_perimeter(r, c, r_radius, c_radius, orientation=0.0,
+                               shape=None):
+            t = np.linspace(0.0, 2 * np.pi, 720)
+            co, so = np.cos(orientation), np.sin(orientation)
+            ru = r_radius * np.cos(t)
+            cu = c_radius * np.sin(t)
+            rr = np.round(r + ru * co - cu * so).astype(np.int64)
+            cc = np.round(c + cu * co + ru * so).astype(np.int64)
+            if shape is not None:
+                rr = rr.clip(0, shape[0] - 1)
+                cc = cc.clip(0, shape[1] - 1)
+            return rr, cc
+
+        draw_mod.ellipse_perimeter = _ellipse_perimeter
     if "deepdish" not in sys.modules:
         sys.modules["deepdish"] = types.ModuleType("deepdish")
     if "torchvision" not in sys.modules:
