@@ -171,9 +171,11 @@ def main():
                    help="BDCN fast-edge factor (1 = full-resolution edge "
                         "net); the fuse map is binarized at 0.1 downstream "
                         "in the edge_thres parity configs")
-    p.add_argument("--seg-downscale", type=int, default=2,
+    p.add_argument("--seg-downscale", type=int, default=4,
                    help="fast-seg factor: decode the seg map at 1/N res "
-                        "(1 = full-resolution decoder)")
+                        "(1 = full-resolution decoder); /4 is the fastest "
+                        "GATED flagship shape (calibrated distillation, "
+                        "BASELINE.md)")
     p.add_argument("--setting", default="baseline_edge",
                    help="fusion variant; 'baseline_input_concat' is the "
                         "single-encoder-pass student shape")
@@ -298,15 +300,20 @@ def main():
     if args.refine:
         metric += "_refined"
     gate = {}
+    # trained-checkpoint accuracy gates: shortcut-CALIBRATED chz32 students
+    # (distilled at these exact serving configurations with real-frame
+    # mix-in) passed distill_gate, BEATING the full-res teacher's GT mIoU
+    # (BASELINE.md; checkpoints logs/distill/calib_e4s{2,4}_rm)
+    gated_shapes = {
+        (4, 2): "calibrated+real-mix distillation, mIoU drop -0.020",
+        (4, 4): "calibrated+real-mix distillation, mIoU drop -0.023",
+    }
+    key = (args.edge_downscale, args.seg_downscale)
     if (args.setting == "baseline_edge" and args.chz == 32
-            and args.edge_downscale == 4 and args.seg_downscale == 2):
-        # the headline shape carries a trained-checkpoint accuracy gate:
-        # the shortcut-CALIBRATED chz32 student (distilled at this exact
-        # serving configuration) passed distill_gate with mIoU drop 0.0013
-        # and teacher-agreement 0.960 (BASELINE.md, logs/distill/calib_e4s2)
+            and key in gated_shapes):
         gate = {"flagship_gated": True,
                 "flagship_gate_evidence":
-                    "calibrated distillation, mIoU drop 0.0013 (BASELINE.md)"}
+                    gated_shapes[key] + " (BASELINE.md)"}
     print(json.dumps({
         "metric": metric,
         "value": round(fps, 1),
