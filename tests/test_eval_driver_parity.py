@@ -129,3 +129,64 @@ def test_calc_acc_composition_parity():
                          ("pup_seg_dist", ref_pup_seg),
                          ("iri_seg_dist", ref_iri_seg)):
         assert ours[key] == pytest.approx(float(ref_val), rel=2e-3, abs=1e-3), key
+
+
+def test_calc_acc_deepvog_path_parity():
+    """calc_acc's divergent deepvog branch (test.py:66-69,90-93,157-158:
+    pupil-binary label remap, elOut <- elPred, latent/iris metrics skipped)
+    vs Evaluator(pupil_only=True) on converted weights. The comparable
+    aggregates are the bg/pupil IoUs and the seg pupil distance (the
+    reference's own 3-class mean is NaN here since binary labels leave
+    class 2 permanently absent)."""
+    import torch
+
+    from eghmd_tpu.models import DeepVOG
+    from eghmd_tpu.utils.torch_convert import deepvog_torch_to_flax
+
+    import resource
+
+    orig_setrlimit = resource.setrlimit
+    resource.setrlimit = lambda *a, **k: None
+    try:
+        ref_test = import_reference("test")
+    finally:
+        resource.setrlimit = orig_setrlimit
+    ref_dv = import_reference("models.deepvog_pytorch")
+
+    n, batch = 4, 2
+    ds = SyntheticEyeDataset(n, SIZE, seed=0, missing_mask_frac=0.3)
+    samples = [ds[i] for i in range(n)]
+
+    torch.manual_seed(5)
+    tmodel = ref_dv.DeepVOG_pytorch()
+    variables = jax.tree.map(jnp.asarray,
+                             deepvog_torch_to_flax(tmodel.state_dict()))
+    model = DeepVOG()
+
+    class _EdgeStub(torch.nn.Module):
+        def forward(self, x):
+            return [torch.zeros_like(x[:, :1])]
+
+    class _Args:
+        model = "deepvog"
+        prec = torch.float32
+        test_normal = False
+        disp = 0
+        record_iou = 0
+        edge_thres = 0
+
+    ref_miou, ref_pup_seg, _ = ref_test.calc_acc(
+        _Args(), _torch_batches(samples, batch), tmodel, _EdgeStub(),
+        torch.device("cpu"))
+
+    ev = Evaluator(model, variables, edge_fn=None, pupil_only=True)
+    ours = ev.run(DataPipeline(ds, batch_size=batch, shuffle=False,
+                               num_workers=2, drop_last=True))
+
+    # the reference returns np.mean over a per-class vector whose iris slot
+    # is permanently NaN under binary labels — its deepvog "mIoU" is NaN by
+    # construction (test.py:249-250), and ours reproduces that quirk
+    assert np.isnan(ref_miou) and np.isnan(ours["mean_iou"])
+    assert np.all(np.isfinite(ours["ious"][:2]))  # bg/pupil IoUs are real
+    assert ours["pup_seg_dist"] == pytest.approx(float(ref_pup_seg),
+                                                 rel=2e-3, abs=1e-3)
