@@ -4,8 +4,11 @@ Measures the full serving path on one chip at the reference's operating point
 (640x400 dual-eye IR frames, split at x=320, each eye -> 240x320 — reference
 evaluate.py:242-247): frame split + preprocess + frozen BDCN edge net +
 ESF-Net (baseline_edge) + fused soft-argmax centers + ellipse
-unnormalization, all in ONE jitted bf16 computation. Weights are random (the
-pretrained blobs are not in this image); throughput is weight-independent.
+unnormalization, all in ONE jitted bf16 computation. Weights default to
+random (throughput is weight-independent); pass --ckpt/--bdcn_ckpt/
+--student_ckpt to serve trained orbax checkpoints — e.g. the gate-passing
+calibrated students in BASELINE.md — so the measured number is tied to the
+exact gated artifact.
 
 By default the batch size is auto-swept (the step is HBM-bandwidth-bound, so
 the optimal batch is the largest that fits) and an XLA cost analysis
@@ -27,13 +30,25 @@ import jax.numpy as jnp
 
 def build_pipeline(dtype=jnp.bfloat16, batch_frames=32, refine=False,
                    edge_downscale=1, seg_downscale=1,
-                   setting="baseline_edge", chz=32, growth=1.2):
+                   setting="baseline_edge", chz=32, growth=1.2,
+                   ckpt="", bdcn_ckpt=""):
     from eghmd_tpu.inference.serving import build_serving_step
 
     step, variables, bdcn_vars = build_serving_step(
         dtype=dtype, refine=refine, edge_downscale=edge_downscale,
         seg_downscale=seg_downscale, setting=setting, chz=chz, growth=growth,
     )
+    if ckpt:
+        # bench the exact trained/gated checkpoint instead of random weights
+        # (throughput is weight-independent; this ties the headline to the
+        # artifact that passed the fidelity gate)
+        from eghmd_tpu.training.checkpoints import load_checkpoint_variables
+
+        variables = load_checkpoint_variables(ckpt)
+    if bdcn_ckpt:
+        from eghmd_tpu.training.bdcn_train import load_bdcn_checkpoint
+
+        bdcn_vars = load_bdcn_checkpoint(bdcn_ckpt)
     jitted = jax.jit(step)
     frames = jnp.asarray(
         np.random.RandomState(0).randint(0, 255, (batch_frames, 400, 640)),
@@ -84,11 +99,12 @@ def cost_analysis(jitted, variables, bdcn_vars, frames):
 
 def run_one(dtype, batch_frames, refine, edge_downscale, seg_downscale,
             iters, analyze=False, setting="baseline_edge", chz=32,
-            growth=1.2):
+            growth=1.2, ckpt="", bdcn_ckpt=""):
     jitted, variables, bdcn_vars, frames = build_pipeline(
         dtype=dtype, batch_frames=batch_frames, refine=refine,
         edge_downscale=edge_downscale, seg_downscale=seg_downscale,
-        setting=setting, chz=chz, growth=growth,
+        setting=setting, chz=chz, growth=growth, ckpt=ckpt,
+        bdcn_ckpt=bdcn_ckpt,
     )
     fps = measure(jitted, variables, bdcn_vars, frames, iters=iters)
     extras = cost_analysis(jitted, variables, bdcn_vars, frames) if analyze else {}
@@ -184,6 +200,18 @@ def main():
                         "<32 = a distilled serving student, see "
                         "training/distill.py — must pass its fidelity gate)")
     p.add_argument("--growth", type=float, default=1.2)
+    p.add_argument("--ckpt", default="",
+                   help="orbax checkpoint dir: bench the exact trained/"
+                        "gated weights (throughput is weight-independent; "
+                        "this ties the number to the gated artifact)")
+    p.add_argument("--bdcn_ckpt", default="",
+                   help="orbax BDCN dir from cli/train_bdcn.py for the "
+                        "edge stage")
+    p.add_argument("--student_ckpt", default="",
+                   help="orbax dir of a GATE-PASSING distilled chz6 "
+                        "student (cli/distill.py): the auxiliary student "
+                        "measurement then serves those weights and the "
+                        "JSON drops the ungated marker")
     p.add_argument("--no-student", action="store_true",
                    help="skip the distilled-student serving measurement "
                         "that accompanies the default parity run")
@@ -208,7 +236,8 @@ def main():
             fps, _ = run_one(dtype, bs, args.refine, args.edge_downscale,
                              args.seg_downscale, iters=max(10, args.iters // 3),
                              setting=args.setting, chz=args.chz,
-                             growth=args.growth)
+                             growth=args.growth, ckpt=args.ckpt,
+                             bdcn_ckpt=args.bdcn_ckpt)
         except Exception as e:
             msg = str(e)
             oom = ("RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower()
@@ -227,7 +256,8 @@ def main():
     fps, extras = run_one(dtype, best_bs, args.refine, args.edge_downscale,
                           args.seg_downscale, iters=args.iters, analyze=True,
                           setting=args.setting, chz=args.chz,
-                          growth=args.growth)
+                          growth=args.growth, ckpt=args.ckpt,
+                          bdcn_ckpt=args.bdcn_ckpt)
 
     if args.profile_dir:
         # first-class device tracing (SURVEY §5): a short traced window of
@@ -263,23 +293,29 @@ def main():
             and args.setting == "baseline_edge"):
         # Distilled-student serving point (training/distill.py): the fastest
         # ladder rung measured on this chip — a chz=6/growth=1.0 no-edge
-        # student decoding seg at 1/4 res. This run measures the SHAPE only
-        # (random weights); "student_shape_ungated" marks that no fidelity
-        # gate was evaluated here. Serving it for real requires a
-        # distillation run that passes distill_gate() on real data — the
-        # same shape did pass end-to-end on synthetic data (BASELINE.md).
+        # student decoding seg at 1/4 res. Without --student_ckpt this
+        # measures the SHAPE only (random weights) and marks the JSON
+        # "student_shape_ungated"; with it, the measurement serves a
+        # trained gate-passing student (e.g. logs/distill/ns_chz6_rm,
+        # which beat its teacher's GT mIoU with real-frame mix-in —
+        # BASELINE.md).
         try:
             s_fps, s_extras = run_one(dtype, 256, False, 4, 4,
                                       iters=args.iters, analyze=True,
-                                      setting="baseline", chz=6, growth=1.0)
+                                      setting="baseline", chz=6, growth=1.0,
+                                      ckpt=args.student_ckpt)
             student = {
                 "student_shape_fps": round(s_fps, 1),
                 "student_shape_cfg": "baseline chz6 growth1.0 seg/4 b256",
-                "student_shape_ungated": True,
+                "student_shape_ungated": not bool(args.student_ckpt),
                 "student_shape_gf_per_frame": round(
                     s_extras.get("gflops_per_frame", 0.0), 1),
             }
-            print(f"student-shape rung (ungated weights): {s_fps:.1f} fps "
+            if args.student_ckpt:
+                student["student_ckpt"] = args.student_ckpt
+            tag = ("gated ckpt " + args.student_ckpt if args.student_ckpt
+                   else "ungated weights")
+            print(f"student rung ({tag}): {s_fps:.1f} fps "
                   f"({s_fps / 5000.0:.2f}x north star)", file=sys.stderr)
         except Exception as e:  # pragma: no cover - auxiliary measurement
             print(f"student measurement failed: {e}", file=sys.stderr)
