@@ -233,11 +233,13 @@ def main():
     best_fps, best_bs = 0.0, candidates[0]
     for bs in candidates:
         try:
+            # sweep with random weights even under --ckpt: throughput is
+            # weight-independent and this skips an orbax restore per batch
+            # candidate; the final measured run below serves the checkpoint
             fps, _ = run_one(dtype, bs, args.refine, args.edge_downscale,
                              args.seg_downscale, iters=max(10, args.iters // 3),
                              setting=args.setting, chz=args.chz,
-                             growth=args.growth, ckpt=args.ckpt,
-                             bdcn_ckpt=args.bdcn_ckpt)
+                             growth=args.growth)
         except Exception as e:
             msg = str(e)
             oom = ("RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower()
@@ -266,7 +268,8 @@ def main():
             dtype=dtype, batch_frames=best_bs, refine=args.refine,
             edge_downscale=args.edge_downscale,
             seg_downscale=args.seg_downscale, setting=args.setting,
-            chz=args.chz, growth=args.growth)
+            chz=args.chz, growth=args.growth, ckpt=args.ckpt,
+            bdcn_ckpt=args.bdcn_ckpt)
         _fence(jitted(variables, bdcn_vars, frames))
         jax.profiler.start_trace(args.profile_dir)
         for _ in range(3):
@@ -346,10 +349,15 @@ def main():
     }
     key = (args.edge_downscale, args.seg_downscale)
     if (args.setting == "baseline_edge" and args.chz == 32
-            and key in gated_shapes):
-        gate = {"flagship_gated": True,
+            and args.growth == 1.2 and key in gated_shapes):
+        # "shape_gated": a student of THIS architecture+serving shape passed
+        # the fidelity gate at a trained checkpoint; "gated_ckpt_served"
+        # says whether this very measurement loaded such weights (--ckpt)
+        # or equivalent random ones (throughput is weight-independent)
+        gate = {"flagship_shape_gated": True,
                 "flagship_gate_evidence":
-                    gated_shapes[key] + " (BASELINE.md)"}
+                    gated_shapes[key] + " (BASELINE.md)",
+                "gated_ckpt_served": bool(args.ckpt)}
     print(json.dumps({
         "metric": metric,
         "value": round(fps, 1),

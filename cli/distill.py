@@ -182,7 +182,11 @@ def main(argv=None):
         from eghmd_tpu.data import ConcatDataset, ListDataset, decode_eye_crops
         from eghmd_tpu.training import pseudo_label_real_samples
 
-        eyes = decode_eye_crops(args.real_video, args.real_mix)
+        # DISJOINT from the real_agreement eval: that metric scores the
+        # clip's first --real_frames frames, so training crops start after
+        # them — the reported agreement is on frames the student never saw
+        eyes = decode_eye_crops(args.real_video, args.real_mix,
+                                skip_frames=args.real_frames)
         if len(eyes):
             # pseudo-label with the teacher at FULL edge fidelity
             label_edge_fn = teacher_edge_fn or build_edge_fn(args, cfg.dtype)

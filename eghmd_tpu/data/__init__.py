@@ -9,7 +9,7 @@ from .sample import assemble_sample, Sample, SAMPLE_KEYS
 from .synthetic import SyntheticEyeDataset, render_eye
 from .h5dataset import H5EyeDataset, write_h5_archive
 from .pipeline import DataPipeline, collate, Subset, ListDataset, ConcatDataset
-from .realframes import decode_eye_crops, eyes_from_frames
+from .realframes import decode_eye_crops, decode_gray_frames, eyes_from_frames
 
 __all__ = [
     "one_hot_to_dist",
@@ -30,5 +30,6 @@ __all__ = [
     "ListDataset",
     "ConcatDataset",
     "decode_eye_crops",
+    "decode_gray_frames",
     "eyes_from_frames",
 ]

@@ -220,32 +220,14 @@ def real_frame_agreement(student, teacher, state, teacher_vars,
     Returns {"real_agreement_miou", "real_pup_c_delta_px", "real_frames"}
     or None when the video cannot be read.
     """
-    import os
-
+    from ..data.realframes import decode_gray_frames
     from ..inference.preprocess import preprocess_frames, split_dual_eye
     from ..ops import seg_centers
     from ..geometry.points import unnorm_pts
 
-    if not os.path.exists(video_path):
+    frames = decode_gray_frames(video_path, n_frames)
+    if frames.size == 0:
         return None
-    try:
-        import cv2
-
-        cap = cv2.VideoCapture(video_path)
-        frames = []
-        while len(frames) < n_frames:
-            ok, fr = cap.read()
-            if not ok:
-                break
-            if fr.ndim == 3:
-                fr = cv2.cvtColor(fr, cv2.COLOR_BGR2GRAY)
-            frames.append(fr)
-        cap.release()
-    except Exception:
-        return None
-    if not frames:
-        return None
-    frames = np.stack(frames)
 
     h, w = eye_size
 
@@ -314,6 +296,7 @@ def pseudo_label_real_samples(teacher, teacher_vars, eyes_u8,
     """
     from ..data.hostops import boundary_weights, signed_distance_maps, standardize
     from ..data.sample import Sample
+    from ..data.synthetic import render_edge_map
     from ..geometry.points import unnorm_pts
     from ..ops import seg_centers
 
@@ -340,9 +323,13 @@ def pseudo_label_real_samples(teacher, teacher_vars, eyes_u8,
             label_step(teacher_vars, jnp.asarray(imgs)))
         for j in range(nb):
             label = np.asarray(tgt[j], np.int32)
+            # edge channel filled like the synthetic set fills it (boundary
+            # map of the label) so edge-consuming students see a consistent
+            # edge distribution when no in-step edge_fn is configured; runs
+            # with a BDCN edge_fn ignore the batch's edge field entirely
             samples.append(Sample(
                 image=imgs[j].astype(np.float32),
-                edge=np.zeros_like(imgs[j], np.float32),
+                edge=render_edge_map(label),
                 target=label,
                 spat_weights=boundary_weights(label),
                 dist_map=signed_distance_maps(label, 3),

@@ -111,6 +111,18 @@ def test_real_frame_agreement_mechanics(distill_setup, tmp_path):
         vw.write(np.stack([rng.randint(0, 255, SIZE, np.uint8)] * 3, 2))
     vw.release()
 
+    # shared decoder: skip_frames gives training crops a frame range
+    # disjoint from the agreement eval, and single-eye-wide clips deliver
+    # the full crop request (1 crop/frame, not an assumed 2)
+    from eghmd_tpu.data import decode_eye_crops, decode_gray_frames
+
+    fr = decode_gray_frames(path, 10)
+    assert fr.shape[0] == 5
+    fr2 = decode_gray_frames(path, 10, skip_frames=2)
+    assert fr2.shape[0] == 3 and np.array_equal(fr2[0], fr[2])
+    eyes = decode_eye_crops(path, 4, SIZE)
+    assert eyes.shape == (4, *SIZE)
+
     out = real_frame_agreement(trainer.student, trainer.teacher, state,
                                trainer.teacher_vars, path, n_frames=5,
                                batch=4, eye_size=SIZE)
