@@ -66,6 +66,9 @@ def parse_args(argv=None):
     p.add_argument("--resume", type=int, default=0,
                    help="restore the latest student checkpoint for this "
                         "expname and train --epochs MORE epochs")
+    p.add_argument("--gate_only", type=int, default=0,
+                   help="skip training: restore this expname's BEST "
+                        "checkpoint and print its fidelity gate")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--prec", type=int, default=32)
     p.add_argument("--epochs", type=int, default=20)
@@ -257,8 +260,29 @@ def main(argv=None):
         start_epoch = last + 1
         print(f"resumed student from epoch {last}; "
               f"training {cfg.epochs} more epochs")
-    state, history = trainer.fit(train_pipe, valid_pipe, checkpointer=ckpt,
-                                 state=state, start_epoch=start_epoch)
+    if args.gate_only:
+        if ckpt.latest_epoch() is None and not os.path.isdir(
+                os.path.join(log_dir, "checkpoints", "best")):
+            raise SystemExit(f"--gate_only: no checkpoints under {log_dir}")
+        state = trainer.init_state(next(iter(valid_pipe)))
+    else:
+        state, history = trainer.fit(train_pipe, valid_pipe, checkpointer=ckpt,
+                                     state=state, start_epoch=start_epoch)
+
+    # Gate the BEST checkpoint — the artifact that would actually serve —
+    # not the last epoch's state: epoch-to-epoch noise on the small val
+    # split can fail a final state whose best (early-stop-tracked) state
+    # passes. restore() prefers the 'best' tag, then the latest epoch.
+    gated_tag = "final"
+    if os.path.isdir(os.path.join(log_dir, "checkpoints", "best")) \
+            or args.gate_only:
+        import jax
+
+        from eghmd_tpu.parallel import replicated_sharding
+
+        state = ckpt.restore(state)
+        state = jax.device_put(state, replicated_sharding(trainer.mesh))
+        gated_tag = "best"
 
     fid = evaluate_fidelity(trainer.fidelity_step, state, trainer.teacher_vars,
                             valid_pipe)
@@ -280,6 +304,7 @@ def main(argv=None):
     print(json.dumps({"student_chz": args.chz, "student_setting": args.setting,
                       "seg_downscale": args.seg_downscale,
                       "edge_downscale": args.edge_downscale,
+                      "gated_tag": gated_tag,
                       **{k: round(v, 4) if isinstance(v, float) else v
                          for k, v in fid.items()},
                       "accepted": bool(accepted)}))
