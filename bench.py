@@ -299,7 +299,7 @@ def main():
         # student decoding seg at 1/4 res. Without --student_ckpt this
         # measures the SHAPE only (random weights) and marks the JSON
         # "student_shape_ungated"; with it, the measurement serves a
-        # trained gate-passing student (e.g. logs/distill/ns_chz6_rm,
+        # trained gate-passing student (e.g. logs/distill/ns_chz6_rm2,
         # which beat its teacher's GT mIoU with real-frame mix-in —
         # BASELINE.md).
         try:
@@ -341,11 +341,12 @@ def main():
     gate = {}
     # trained-checkpoint accuracy gates: shortcut-CALIBRATED chz32 students
     # (distilled at these exact serving configurations with real-frame
-    # mix-in) passed distill_gate, BEATING the full-res teacher's GT mIoU
-    # (BASELINE.md; checkpoints logs/distill/calib_e4s{2,4}_rm)
+    # mix-in, eval frames disjoint from training frames) passed
+    # distill_gate, BEATING the full-res teacher's GT mIoU (BASELINE.md;
+    # checkpoints logs/distill/calib_e4s{2,4}_rm2)
     gated_shapes = {
-        (4, 2): "calibrated+real-mix distillation, mIoU drop -0.020",
-        (4, 4): "calibrated+real-mix distillation, mIoU drop -0.023",
+        (4, 2): "calibrated+real-mix distillation, mIoU drop -0.007",
+        (4, 4): "calibrated+real-mix distillation, mIoU drop -0.010",
     }
     key = (args.edge_downscale, args.seg_downscale)
     if (args.setting == "baseline_edge" and args.chz == 32
