@@ -169,8 +169,6 @@ def build_edge_fn(args, dtype):
     """
     if not args.bdcn_weights:
         return None
-    import os
-
     import jax
     import jax.numpy as jnp
 
@@ -182,13 +180,8 @@ def build_edge_fn(args, dtype):
         bdcn = BDCN(dtype=dtype)
         variables = jax.jit(bdcn.init)(
             jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32))
-    elif os.path.isdir(args.bdcn_weights):
-        from eghmd_tpu.training.bdcn_train import load_bdcn_checkpoint
-
-        variables = load_bdcn_checkpoint(args.bdcn_weights)
     else:
-        from eghmd_tpu.utils.torch_convert import load_reference_bdcn_checkpoint
+        from eghmd_tpu.training.checkpoints import load_bdcn_variables
 
-        variables = jax.tree.map(
-            jnp.asarray, load_reference_bdcn_checkpoint(args.bdcn_weights))
+        variables = load_bdcn_variables(args.bdcn_weights)
     return make_edge_fn(variables, dtype=dtype, downscale=downscale)

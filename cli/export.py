@@ -68,15 +68,18 @@ def main(argv=None):
         variables = load_checkpoint_variables(args.ckpt)
     bdcn_vars = None
     if args.bdcn_weights:
-        import jax
+        from eghmd_tpu.training.checkpoints import load_bdcn_variables
 
-        from eghmd_tpu.utils.torch_convert import load_reference_bdcn_checkpoint
+        bdcn_vars = load_bdcn_variables(args.bdcn_weights)
 
-        bdcn_vars = jax.tree.map(
-            jnp.asarray, load_reference_bdcn_checkpoint(args.bdcn_weights))
-
+    provenance = {}
+    if args.ckpt:
+        provenance["ckpt"] = os.path.abspath(args.ckpt)
+    if args.bdcn_weights:
+        provenance["bdcn_weights"] = args.bdcn_weights
     out = export_serving_artifact(
         args.out, variables=variables, bdcn_vars=bdcn_vars,
+        provenance=provenance or None,
         batch_frames=args.batch_frames,
         platforms=tuple(args.platforms.split(",")),
         dtype=dtype, refine=args.refine,

@@ -90,14 +90,16 @@ MODULE = "serving.stablehlo"
 def export_serving_artifact(out_dir: str, variables=None, bdcn_vars=None,
                             batch_frames: int = 64,
                             platforms: Tuple[str, ...] = ("tpu", "cpu"),
-                            **build_kwargs) -> str:
+                            provenance=None, **build_kwargs) -> str:
     """Freeze the serving step into a self-contained StableHLO artifact.
 
     Weights are baked into the module as constants; the artifact's only
     input is the frame batch ``[batch_frames, Hf, Wf] f32``. Pass
     ``variables``/``bdcn_vars`` (e.g. restored from a checkpoint) to bake
     trained weights; omitted, the freshly initialized ones are used.
-    Returns the artifact directory.
+    ``provenance`` (a dict, e.g. checkpoint paths) is recorded verbatim in
+    the manifest so a deployed artifact traces back to the gate evidence
+    of the weights it bakes. Returns the artifact directory.
     """
     from jax import export as jexport
 
@@ -128,6 +130,7 @@ def export_serving_artifact(out_dir: str, variables=None, bdcn_vars=None,
         "platforms": list(platforms),
         "build": {k: (str(v) if k == "dtype" else v)
                   for k, v in build_kwargs.items()},
+        **({"provenance": provenance} if provenance else {}),
         "batch_frames": batch_frames,
     }
     with open(os.path.join(out_dir, MANIFEST), "w") as f:

@@ -248,10 +248,12 @@ def load_bdcn_checkpoint(directory: str):
     the directory that contains ``bdcn/`` or the ``bdcn`` path itself)."""
     import os
 
-    import orbax.checkpoint as ocp
-
     path = os.path.abspath(directory)
-    if os.path.isdir(os.path.join(path, "bdcn")):
-        path = os.path.join(path, "bdcn")
-    raw = ocp.PyTreeCheckpointer().restore(path)
+    for sub in ("bdcn", os.path.join("checkpoints", "bdcn")):
+        if os.path.isdir(os.path.join(path, sub)):
+            path = os.path.join(path, sub)
+            break
+    from .checkpoints import restore_pytree
+
+    raw = restore_pytree(path)
     return {"params": jax.tree.map(jnp.asarray, raw["params"])}

@@ -112,16 +112,57 @@ def resolve_checkpoint_dir(path: str) -> str:
     return path
 
 
+def restore_pytree(path: str):
+    """Restore an orbax PyTree checkpoint, platform-portably.
+
+    A checkpoint saved on one backend (e.g. the TPU) records device
+    shardings that don't exist on another (e.g. a CPU serving/export
+    host); when the default restore rejects them, the tree is restored
+    as plain host numpy instead.
+    """
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    p = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    try:
+        return ckptr.restore(p)
+    except ValueError:
+        meta = ckptr.metadata(p)  # StepMetadata -> TreeMetadata -> plain tree
+        tree = getattr(meta, "item_metadata", meta)
+        tree = getattr(tree, "tree", tree)
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+        return ckptr.restore(p, restore_args=restore_args)
+
+
 def load_checkpoint_variables(path: str):
     """Load ``{'params', 'batch_stats'}`` model variables from an orbax
     checkpoint directory (manager dir or single checkpoint)."""
     import jax.numpy as jnp
-    import orbax.checkpoint as ocp
 
-    raw = ocp.PyTreeCheckpointer().restore(
-        os.path.abspath(resolve_checkpoint_dir(path)))
+    raw = restore_pytree(resolve_checkpoint_dir(path))
     return jax.tree.map(jnp.asarray, {
         "params": raw["params"], "batch_stats": raw.get("batch_stats", {})})
+
+
+def load_bdcn_variables(spec: str):
+    """Resolve a ``--bdcn_weights``-style spec to BDCN variables.
+
+    Accepts an orbax directory (the in-repo self-training recipe,
+    cli/train_bdcn.py) or a torch checkpoint file (the reference's
+    pretrained blob, converted). Shared by cli/args.py::build_edge_fn
+    and cli/export.py so the two can't drift.
+    """
+    import jax.numpy as jnp
+
+    if os.path.isdir(spec):
+        from .bdcn_train import load_bdcn_checkpoint
+
+        return load_bdcn_checkpoint(spec)
+    from ..utils.torch_convert import load_reference_bdcn_checkpoint
+
+    return jax.tree.map(jnp.asarray, load_reference_bdcn_checkpoint(spec))
 
 
 def bootstrap_state(state, loadfile: str, setting=None):

@@ -25,11 +25,13 @@ def test_export_roundtrip(tmp_path):
     ref = jax.jit(step)(variables, bdcn_vars, frames)
 
     out = export_serving_artifact(
-        str(tmp_path / "art"), batch_frames=2, platforms=("cpu",), **CFG)
+        str(tmp_path / "art"), batch_frames=2, platforms=("cpu",),
+        provenance={"ckpt": "/logs/run1/best"}, **CFG)
     call, manifest = load_serving_artifact(out)
     got = call(frames)
 
     assert manifest["input"]["shape"] == [2, 176, 384]
+    assert manifest["provenance"] == {"ckpt": "/logs/run1/best"}
     assert len(got) == 3
     np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
