@@ -60,9 +60,17 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     ICI within a host and DCN across hosts, inserted by XLA. On TPU pods the
     arguments resolve automatically from the environment; pass them
     explicitly for CPU/GPU fleets. No-op when already initialized.
+
+    NOTE: the already-initialized guard must be ``jax.distributed
+    .is_initialized()`` — NOT ``jax.process_count()``, which initializes
+    the local backend as a side effect and makes the subsequent
+    ``jax.distributed.initialize`` raise ("must be called before any JAX
+    computations"). That failure mode silently degraded an explicit
+    2-process request to two 1-process runs until the multi-process smoke
+    test (tests/test_multiprocess.py) caught it.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    if jax.distributed.is_initialized():
+        return
     try:
         kwargs = {}
         if coordinator_address is not None:
@@ -70,7 +78,13 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
                           num_processes=num_processes, process_id=process_id)
         jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError):
-        pass  # single-process run (the common local case)
+        if coordinator_address is not None:
+            # the caller explicitly asked for a multi-process topology;
+            # degrading to single-process here would silently train on a
+            # fraction of the fleet — surface it instead.
+            raise
+        # auto-resolve found no cluster: single-process run (the common
+        # local case).
 
 
 def local_batch_slice(global_batch: int, mesh: Mesh, axis: str = "data"):
