@@ -185,3 +185,27 @@ class TestEdgeAgreement:
         assert 0.0 <= out["edge_density_full"] <= 1.0
         assert 0.0 <= out["fast2_f1_vs_full"] <= 1.0
         assert 0.0 <= out["fast2_density"] <= 1.0
+
+
+class TestHostBench:
+    def test_host_pipeline_bench_runs(self, capsys):
+        """cli/bench_host.py measures the per-sample host chain (native C++
+        EDT vs the scipy fallback) and the threaded pipeline without ever
+        touching a device backend (it must run while the TPU tunnel is
+        down)."""
+        from cli.bench_host import main
+
+        out = main(["--n", "3", "--batchsize", "3", "--workers", "2",
+                    "--image_height", "96", "--image_width", "128"])
+        key = "native" if out["native_available"] else "python"
+        assert out[f"samples_per_sec_{key}"] > 0
+        assert out["pipeline_samples_per_sec"] > 0
+        if out["native_available"]:
+            # the native EDT exists to beat scipy; a tiny shape is noisy so
+            # just require it not be dramatically slower
+            assert out["edt_ms_native"] < 4 * out["edt_ms_python"]
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        import json
+
+        rec = json.loads(line)
+        assert rec["metric"] == "host_pipeline_samples_per_sec"
