@@ -169,50 +169,77 @@ def train_cost_analysis(batch=16, size=(240, 320)):
     }
 
 
-def _require_devices(timeout_s=300):
-    """Fail fast (one parseable JSON line) when the TPU backend cannot be
-    acquired. The image's experimental 'axon' tunnel occasionally goes down,
-    and then the first backend touch blocks FOREVER in native code — a hung
-    bench is worse than a diagnosed one for the round artifact. Probe
-    ``jax.devices()`` from a watchdogged thread; on timeout emit a JSON
-    record with an ``error`` field and exit nonzero."""
+# A JAX_PLATFORMS=cpu request must go through jax.config.update AFTER the
+# import: the image's baked axon plugin wraps backend init and dials the
+# TPU tunnel during plain env-driven platform selection even for 'cpu',
+# which blocks forever when the tunnel is down (the config route skips it —
+# same trick as tests/conftest.py and __graft_entry__).
+_CPU_OPT_IN = "import os\n_cpu = os.environ.get('JAX_PLATFORMS', '').lower() == 'cpu'\n"
+_CPU_CONFIG = "\nif _cpu: jax.config.update('jax_platforms', 'cpu')\n"
+
+
+def _require_devices(probe_timeout_s=120, wait_s=900):
+    """Wait for the TPU backend, then fail loud-but-parseable if it never
+    comes up. The image's experimental 'axon' tunnel goes down for
+    stretches, and then the first backend touch blocks FOREVER in native
+    code — a hung bench is worse than a diagnosed one for the round
+    artifact. Probe ``jax.devices()`` in a KILLABLE subprocess (a stuck
+    in-process thread can't be reclaimed) and retry for up to ``wait_s``
+    so a flapping tunnel still yields a real measurement; on exhaustion
+    emit one JSON record with an ``error`` field and exit nonzero."""
     import os
-    import threading
+    import subprocess
 
-    result = {}
-
-    def probe():
+    wait_s = float(os.environ.get("BENCH_DEVICE_WAIT_S", wait_s))
+    deadline = time.monotonic() + wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        budget = min(probe_timeout_s,
+                     max(15.0, deadline - time.monotonic()))
         try:
-            result["devices"] = [str(d) for d in jax.devices()]
-        except Exception as e:  # pragma: no cover - backend failure path
-            result["error"] = repr(e)
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if t.is_alive() or "error" in result:
-        why = result.get(
-            "error",
-            f"device acquisition timed out after {timeout_s}s "
-            "(axon TPU tunnel unreachable) — environment, not framework",
-        )
-        print(json.dumps({
-            "metric": "e2e_dual_eye_inference_fps_640x400",
-            "value": 0.0,
-            "unit": "frames/sec/chip",
-            "vs_baseline": 0.0,
-            "error": why,
-        }))
-        sys.stdout.flush()
-        os._exit(2)  # the probe thread is stuck in native code; hard-exit
+            out = subprocess.run(
+                [sys.executable, "-c", _CPU_OPT_IN
+                 + "import jax\n" + _CPU_CONFIG
+                 + "print('NDEV', len(jax.devices()))"],
+                capture_output=True, text=True, timeout=budget,
+            )
+            if out.returncode == 0 and "NDEV" in out.stdout:
+                return  # backend reachable; safe to touch it in-process
+            why = (out.stderr or out.stdout).strip().splitlines()
+            why = why[-1][:200] if why else f"probe rc={out.returncode}"
+        except subprocess.TimeoutExpired:
+            why = (f"probe {attempt} timed out after {budget:.0f}s "
+                   "(axon TPU tunnel unreachable)")
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            print(json.dumps({
+                "metric": "e2e_dual_eye_inference_fps_640x400",
+                "value": 0.0,
+                "unit": "frames/sec/chip",
+                "vs_baseline": 0.0,
+                "error": f"device acquisition failed for {wait_s:.0f}s "
+                         f"({attempt} probes; last: {why}) — environment, "
+                         "not framework",
+            }))
+            sys.stdout.flush()
+            sys.exit(2)
+        print(f"devices not ready ({why}); retrying "
+              f"({remaining:.0f}s left)", file=sys.stderr)
+        time.sleep(min(30, max(0.0, remaining)))
 
 
 def main():
     import argparse
+    import os
 
     from eghmd_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        # see _CPU_OPT_IN: env-driven cpu selection still dials the TPU
+        # tunnel in this image; the config route does not
+        jax.config.update("jax_platforms", "cpu")
     _require_devices()
 
     p = argparse.ArgumentParser()
