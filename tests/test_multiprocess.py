@@ -54,3 +54,32 @@ def test_two_process_dp_train_step():
         losses.append(float(m.group(1)))
     # identical replicated loss on both hosts == the all-reduce crossed DCN
     assert losses[0] == losses[1], losses
+
+
+def test_explicit_coordinator_failure_raises():
+    """An explicit multi-process request that cannot initialize must raise,
+    not silently degrade to a single-process run (training on 1/N of the
+    fleet). Runs in a subprocess: jax.distributed state is process-global."""
+    code = (
+        "import os\n"
+        "os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=2'\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import sys; sys.path.insert(0, %r)\n"
+        "from eghmd_tpu.parallel.mesh import initialize_distributed\n"
+        "try:\n"
+        "    initialize_distributed(coordinator_address='localhost:1')\n"
+        "except (RuntimeError, ValueError):\n"
+        "    print('RAISED-AS-REQUIRED')\n"
+        "else:\n"
+        "    print('SILENT-DEGRADE')\n"
+        "initialize_distributed()  # auto-resolve: must stay a quiet no-op\n"
+        "print('AUTO-OK')\n" % REPO
+    )
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, cwd=REPO, env=env, timeout=300)
+    assert "RAISED-AS-REQUIRED" in out.stdout, out.stdout + out.stderr
+    assert "AUTO-OK" in out.stdout, out.stdout + out.stderr
