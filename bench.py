@@ -31,12 +31,13 @@ import jax.numpy as jnp
 def build_pipeline(dtype=jnp.bfloat16, batch_frames=32, refine=False,
                    edge_downscale=1, seg_downscale=1,
                    setting="baseline_edge", chz=32, growth=1.2,
-                   ckpt="", bdcn_ckpt=""):
+                   ckpt="", bdcn_ckpt="", input_downscale=1):
     from eghmd_tpu.inference.serving import build_serving_step
 
     step, variables, bdcn_vars = build_serving_step(
         dtype=dtype, refine=refine, edge_downscale=edge_downscale,
         seg_downscale=seg_downscale, setting=setting, chz=chz, growth=growth,
+        input_downscale=input_downscale,
     )
     if ckpt:
         # bench the exact trained/gated checkpoint instead of random weights
@@ -99,12 +100,12 @@ def cost_analysis(jitted, variables, bdcn_vars, frames):
 
 def run_one(dtype, batch_frames, refine, edge_downscale, seg_downscale,
             iters, analyze=False, setting="baseline_edge", chz=32,
-            growth=1.2, ckpt="", bdcn_ckpt=""):
+            growth=1.2, ckpt="", bdcn_ckpt="", input_downscale=1):
     jitted, variables, bdcn_vars, frames = build_pipeline(
         dtype=dtype, batch_frames=batch_frames, refine=refine,
         edge_downscale=edge_downscale, seg_downscale=seg_downscale,
         setting=setting, chz=chz, growth=growth, ckpt=ckpt,
-        bdcn_ckpt=bdcn_ckpt,
+        bdcn_ckpt=bdcn_ckpt, input_downscale=input_downscale,
     )
     fps = measure(jitted, variables, bdcn_vars, frames, iters=iters)
     extras = cost_analysis(jitted, variables, bdcn_vars, frames) if analyze else {}
@@ -266,6 +267,11 @@ def main():
                         "<32 = a distilled serving student, see "
                         "training/distill.py — must pass its fidelity gate)")
     p.add_argument("--growth", type=float, default=1.2)
+    p.add_argument("--input-downscale", type=int, default=1,
+                   help="fast-input factor: run the whole network at 1/N "
+                        "res (inputs pooled at model entry, logits "
+                        "upsampled); must be trained through "
+                        "(cli/distill.py --input_downscale) and gated")
     p.add_argument("--ckpt", default="",
                    help="orbax checkpoint dir: bench the exact trained/"
                         "gated weights (throughput is weight-independent; "
@@ -305,7 +311,8 @@ def main():
             fps, _ = run_one(dtype, bs, args.refine, args.edge_downscale,
                              args.seg_downscale, iters=max(10, args.iters // 3),
                              setting=args.setting, chz=args.chz,
-                             growth=args.growth)
+                             growth=args.growth,
+                             input_downscale=args.input_downscale)
         except Exception as e:
             msg = str(e)
             oom = ("RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower()
@@ -325,7 +332,8 @@ def main():
                           args.seg_downscale, iters=args.iters, analyze=True,
                           setting=args.setting, chz=args.chz,
                           growth=args.growth, ckpt=args.ckpt,
-                          bdcn_ckpt=args.bdcn_ckpt)
+                          bdcn_ckpt=args.bdcn_ckpt,
+                          input_downscale=args.input_downscale)
 
     if args.profile_dir:
         # first-class device tracing (SURVEY §5): a short traced window of
@@ -335,7 +343,7 @@ def main():
             edge_downscale=args.edge_downscale,
             seg_downscale=args.seg_downscale, setting=args.setting,
             chz=args.chz, growth=args.growth, ckpt=args.ckpt,
-            bdcn_ckpt=args.bdcn_ckpt)
+            bdcn_ckpt=args.bdcn_ckpt, input_downscale=args.input_downscale)
         _fence(jitted(variables, bdcn_vars, frames))
         jax.profiler.start_trace(args.profile_dir)
         for _ in range(3):
@@ -416,7 +424,8 @@ def main():
     }
     key = (args.edge_downscale, args.seg_downscale)
     if (args.setting == "baseline_edge" and args.chz == 32
-            and args.growth == 1.2 and key in gated_shapes):
+            and args.growth == 1.2 and args.input_downscale == 1
+            and key in gated_shapes):
         # "shape_gated": a student of THIS architecture+serving shape passed
         # the fidelity gate at a trained checkpoint; "gated_ckpt_served"
         # says whether this very measurement loaded such weights (--ckpt)
@@ -438,6 +447,7 @@ def main():
         "derived_batch_ms": round(best_bs / fps * 1000.0, 2),
         "edge_downscale": args.edge_downscale,
         "seg_downscale": args.seg_downscale,
+        "input_downscale": args.input_downscale,
         "setting": args.setting,
         "chz": args.chz,
         **extras,

@@ -48,6 +48,14 @@ def parse_args(argv=None):
                         "the gate covers the exact serving shape (post-hoc "
                         "downscales fail the gate at trained checkpoints — "
                         "BASELINE.md)")
+    p.add_argument("--input_downscale", type=int, default=1,
+                   help="student fast-input factor, TRAINED THROUGH: the "
+                        "whole student network runs at 1/N resolution "
+                        "(inputs average-pooled at model entry, logits "
+                        "bilinearly upsampled back), cutting activation "
+                        "HBM traffic ~N^2 in the bandwidth-bound serving "
+                        "step. NOT checkpoint-compatible with the full "
+                        "model (regression-head flatten width changes)")
     # distillation
     p.add_argument("--temperature", type=float, default=4.0)
     p.add_argument("--w_seg", type=float, default=20.0)
@@ -161,7 +169,12 @@ def main(argv=None):
                           chz=args.teacher_chz, growth=args.teacher_growth)
     student = build_model("ritnet_v2", s_variant, cfg.dtype,
                           chz=args.chz, growth=args.growth,
-                          seg_downscale=args.seg_downscale)
+                          seg_downscale=args.seg_downscale,
+                          input_downscale=args.input_downscale)
+    if args.input_downscale > 1 and args.init_from_teacher:
+        raise SystemExit("--init_from_teacher cannot bootstrap an "
+                         "input_downscale student: the regression head's "
+                         "flatten width differs from the teacher's")
     teacher_vars = load_teacher_vars(args.teacher_ckpt, teacher, t_variant,
                                      cfg.image_size)
 
@@ -304,6 +317,7 @@ def main(argv=None):
     print(json.dumps({"student_chz": args.chz, "student_setting": args.setting,
                       "seg_downscale": args.seg_downscale,
                       "edge_downscale": args.edge_downscale,
+                      "input_downscale": args.input_downscale,
                       "gated_tag": gated_tag,
                       **{k: round(v, 4) if isinstance(v, float) else v
                          for k, v in fid.items()},

@@ -43,6 +43,9 @@ def parse_args(argv=None):
     p.add_argument("--batch_frames", type=int, default=64)
     p.add_argument("--edge_downscale", type=int, default=4)
     p.add_argument("--seg_downscale", type=int, default=2)
+    p.add_argument("--input_downscale", type=int, default=1,
+                   help="fast-input factor (must match how the checkpoint "
+                        "was trained: cli/distill.py --input_downscale)")
     p.add_argument("--refine", action="store_true")
     p.add_argument("--platforms", type=str, default="tpu,cpu",
                    help="comma-separated lowering targets")
@@ -85,6 +88,7 @@ def main(argv=None):
         dtype=dtype, refine=args.refine,
         edge_downscale=args.edge_downscale,
         seg_downscale=args.seg_downscale,
+        input_downscale=args.input_downscale,
         setting=args.setting, chz=args.chz, growth=args.growth,
     )
     size = os.path.getsize(os.path.join(out, "serving.stablehlo"))

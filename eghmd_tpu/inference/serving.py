@@ -25,7 +25,8 @@ def build_serving_step(dtype=jnp.bfloat16, refine=False, edge_downscale=1,
                        seg_downscale=1, setting="baseline_edge", chz=32,
                        growth=1.2, rng_seed=0,
                        eye_size: Tuple[int, int] = (240, 320),
-                       frame_size: Tuple[int, int] = (400, 640)):
+                       frame_size: Tuple[int, int] = (400, 640),
+                       input_downscale=1):
     """Build (step_fn, variables, bdcn_vars) for the dual-eye serving path.
 
     ``step_fn(variables, bdcn_vars, frames[B, Hf, Wf])`` returns
@@ -49,7 +50,8 @@ def build_serving_step(dtype=jnp.bfloat16, refine=False, edge_downscale=1,
         # width-scaled serving student (training/distill.py)
         variant = scaled_variant(variant, chz, growth)
     model = ESFNet(setting=variant, dtype=dtype, chz=chz, growth=growth,
-                   seg_downscale=seg_downscale)
+                   seg_downscale=seg_downscale,
+                   input_downscale=input_downscale)
     x0 = jnp.zeros((1, h, w, 1), jnp.float32)
     # traced init: eager flax init dispatches each conv separately
     variables = jax.jit(lambda r, a, b: model.init(r, a, b, train=False))(rng, x0, x0)

@@ -131,7 +131,15 @@ class DenseUpBlock(nn.Module):
             c, (k, k), padding=(k - 1) // 2, dtype=self.dtype, precision=conv_precision(self.dtype), name=name
         )
         if self.do_upsample:
-            x = upsample2x_bilinear(x)
+            # upsample to the skip's exact spatial dims: identical to the
+            # reference's scale_factor=2 interpolate for the even sizes the
+            # reference ever sees (models/RITnet_v2.py:80-83), but also
+            # correct for the odd intermediate sizes that fast-input
+            # serving students (ESFNet.input_downscale) produce, where
+            # floor-pooling makes 2*H_pooled != H_skip
+            b, _, _, c = x.shape
+            x = jax.image.resize(
+                x, (b, skip.shape[1], skip.shape[2], c), method="bilinear")
         x = jnp.concatenate([x, skip], axis=-1)
         x1 = leaky_relu(conv(self.out_c, 3, "conv12")(conv(self.out_c, 1, "conv11")(x)))
         x21 = jnp.concatenate([x, x1], axis=-1)
@@ -151,7 +159,19 @@ class RegressionModule(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = leaky_relu(nn.Conv(128, (2, 3), padding="VALID", dtype=self.dtype, precision=conv_precision(self.dtype), name="c1")(x))
-        x = avg_pool(x, 2)
+        # The reference pipeline always sees a >=11x12 bottleneck (eye sizes
+        # >= 176x192) and pools here. Fast-input serving students
+        # (ESFNet.input_downscale > 1) shrink the bottleneck below what the
+        # two VALID 3x3 convs after the pool can consume; for those shapes
+        # the pool is skipped (shape-static under jit — the choice is fixed
+        # at trace time and baked into the student's checkpoint).
+        if x.shape[1] // 2 >= 5 and x.shape[2] // 2 >= 5:
+            x = avg_pool(x, 2)
+        if x.shape[1] < 5 or x.shape[2] < 5:
+            raise ValueError(
+                f"regression head needs a >=5x5 map after c1, got "
+                f"{x.shape[1]}x{x.shape[2]} — eye size too small for this "
+                f"input_downscale")
         x = leaky_relu(nn.Conv(128, (3, 3), padding="VALID", dtype=self.dtype, precision=conv_precision(self.dtype), name="c2")(x))
         x = leaky_relu(
             nn.Conv(32, (3, 3), padding="VALID", use_bias=False, dtype=self.dtype, precision=conv_precision(self.dtype), name="c3")(x)

@@ -144,6 +144,17 @@ class ESFNet(nn.Module):
     # are identical to the full model (checkpoint-compatible); accuracy is
     # gated in tests/test_esfnet_parity.py. Training keeps seg_downscale=1.
     seg_downscale: int = 1
+    # fast-input serving mode: average-pool the inputs by 1/N at entry and
+    # fold the extra factor into the final logits upsample, so the WHOLE
+    # network (encoder + decoder + regressor) runs at reduced resolution
+    # while the op/centers interface stays at the full operating size. The
+    # serving step is HBM-bandwidth-bound and its bytes are dominated by the
+    # early full-res feature maps (BASELINE.md), so /2 cuts activation
+    # traffic ~4x. NOT checkpoint-compatible with the full model (the
+    # regression head's flatten width changes); like the other serving
+    # shortcuts it must be TRAINED through (cli/distill.py) and pass the
+    # fidelity gate before serving.
+    input_downscale: int = 1
     # rematerialize the encoder/decoder in the backward pass (jax.checkpoint):
     # trades ~1/3 more FLOPs for dropping the stored decoder-concat
     # activations — the 240x320 batch-16 f32 train step OOMs a 16 GB chip
@@ -154,6 +165,11 @@ class ESFNet(nn.Module):
     def __call__(self, x, x_edge, train: bool = False):
         cfg = self.setting
         assert cfg.input_concat + cfg.add_edge < 2, "edge can be used only once"
+
+        if self.input_downscale > 1:
+            k = self.input_downscale
+            x = nn.avg_pool(x, (k, k), strides=(k, k))
+            x_edge = nn.avg_pool(x_edge, (k, k), strides=(k, k))
 
         if cfg.only_edge:
             x = x_edge
@@ -191,11 +207,10 @@ class ESFNet(nn.Module):
             self.chz, self.growth, out_c=3, add_edge=bool(cfg.add_edge),
             dtype=self.dtype, seg_downscale=self.seg_downscale, name="dec",
         )(x4, x3, x2, x1, bott, train)
-        if self.seg_downscale > 1:
+        up = self.seg_downscale * self.input_downscale
+        if up > 1:
             b, hh, ww, cc3 = op.shape
-            op = jax.image.resize(
-                op, (b, hh * self.seg_downscale, ww * self.seg_downscale, cc3),
-                "bilinear")
+            op = jax.image.resize(op, (b, hh * up, ww * up, cc3), "bilinear")
 
         if cfg.add_seg:
             seg = jax.nn.softmax(op, axis=-1)
