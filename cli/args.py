@@ -65,6 +65,12 @@ def parse_args(argv=None, train=True):
                    help="rematerialize encoder/decoder in the backward pass "
                         "(jax.checkpoint): fits 240x320 batch>=16 f32 "
                         "training on a 16 GB chip")
+    p.add_argument("--batch_frames", type=int, default=32,
+                   help="video eval: frames per device batch. Each batch is "
+                        "ONE dispatch; on links with high per-dispatch "
+                        "latency (this image's axon tunnel: ~1 s) larger "
+                        "batches amortize it — 451 frames at 8/batch is 57 "
+                        "dispatches, at 64/batch it is 8")
     p.add_argument("--no_overlay", type=int, default=0,
                    help="video eval: skip the overlay + edge mp4 outputs "
                         "(host-encode cost) and write only the per-frame "

@@ -46,7 +46,7 @@ def main(argv=None):
 
     vp = VideoPipeline(model, variables, edge_fn=build_edge_fn(args, cfg.dtype),
                        edge_thres=bool(variant.edge_thres or args.edge_thres),
-                       batch_frames=8, refine=True)
+                       batch_frames=args.batch_frames, refine=True)
     vids = []
     for ext in ("*.avi", "*.mp4", "*.mkv"):
         vids += glob.glob(os.path.join(args.path2data, "**", ext), recursive=True)
