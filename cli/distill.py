@@ -230,6 +230,9 @@ def main(argv=None):
                               shuffle=False, num_workers=cfg.workers)
 
     log_dir = os.path.join(cfg.log_dir, "distill", args.expname)
+    from eghmd_tpu.utils.logging import dump_run_args
+
+    dump_run_args(log_dir, args)
     ckpt = CheckpointManager(os.path.join(log_dir, "checkpoints"))
     state, start_epoch = None, 0
     if args.init_from_teacher and not args.resume:

@@ -35,6 +35,9 @@ def main(argv=None):
 
     log_dir = os.path.join(cfg.log_dir, args.model, args.expname)
     logger = ExperimentLogger(log_dir)
+    from eghmd_tpu.utils.logging import dump_run_args
+
+    dump_run_args(log_dir, args)
     ds_head = LinStack(64, 2, num_layers=2, act=False)
     trainer = Trainer(cfg, model, ds_head=ds_head,
                       edge_fn=build_edge_fn(args, cfg.dtype),

@@ -96,3 +96,21 @@ class ExperimentLogger:
 
         with open(os.path.join(self.log_dir, "history.json"), "w") as f:
             json.dump(clean(history), f, indent=1)
+
+
+def dump_run_args(log_dir, args):
+    """Record the exact CLI invocation in the run directory (args.json).
+
+    The reference leaves no record of how a checkpoint was produced; every
+    training/distillation run here writes its argparse namespace so ladder
+    entries (BASELINE.md) can be reproduced verbatim from the artifact dir.
+    """
+    import json
+    import os
+    import sys
+
+    os.makedirs(log_dir, exist_ok=True)
+    payload = {"argv": sys.argv, "args": {k: v for k, v in sorted(
+        vars(args).items())}}
+    with open(os.path.join(log_dir, "args.json"), "w") as f:
+        json.dump(payload, f, indent=2, default=str)
