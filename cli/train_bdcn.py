@@ -71,6 +71,9 @@ def main(argv=None):
 
     trainer = BDCNTrainer(lr=args.lr, dilate=args.dilate, dtype=dtype)
     ckpt_dir = os.path.join(args.log_dir, "bdcn", args.expname, "checkpoints")
+    from eghmd_tpu.utils.logging import dump_run_args
+
+    dump_run_args(os.path.dirname(ckpt_dir), args)
     params = None
     if args.resume and os.path.isdir(os.path.join(ckpt_dir, "bdcn")):
         from eghmd_tpu.training import load_bdcn_checkpoint

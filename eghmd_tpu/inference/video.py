@@ -36,10 +36,13 @@ PUPIL_LINE = (0, 0, 255)
 
 
 def plot_segmap_ellpreds(image, seg_map, pupil_ellipse, iris_ellipse):
-    """Overlay seg classes and fitted ellipses on a gray frame.
+    """Overlay seg classes and fitted ellipses on a gray frame (HOST path).
 
     Reference helperfunctions.py:521-622 (the live code paths: class fills +
-    cv2.ellipse outlines with angle in degrees).
+    cv2.ellipse outlines with angle in degrees). The default pipeline
+    renders this on DEVICE instead (eghmd_tpu/ops/overlay.py); this host
+    renderer remains as the oracle the device renderer is tested against
+    and as the ``device_overlay=False`` fallback.
     """
     import cv2
 
@@ -53,10 +56,31 @@ def plot_segmap_ellpreds(image, seg_map, pupil_ellipse, iris_ellipse):
     return out
 
 
+def restore_map_geometry_np(m, scale_shift, orig_hw):
+    """Host mirror of ops.overlay.restore_map_geometry (reference
+    evaluate.py:179-192): pad chopped rows back with background, then
+    nearest-resize to the original eye size — REQUIRED before drawing so
+    the seg/edge maps stay vertically aligned with the rescaled ellipses."""
+    import cv2
+
+    sc, pad = scale_shift
+    if pad < 0:
+        k = (-pad) // 2
+        m = np.pad(m, ((k, k), (0, 0)))
+    elif pad > 0:
+        lo = pad // 2
+        m = m[lo: m.shape[0] - (pad - lo), :]
+    if m.shape != tuple(orig_hw):
+        m = cv2.resize(m, (orig_hw[1], orig_hw[0]),
+                       interpolation=cv2.INTER_NEAREST)
+    return m
+
+
 class VideoPipeline:
     def __init__(self, model, variables, edge_fn: Optional[Callable] = None,
                  edge_thres: bool = False, batch_frames: int = 32,
-                 refine: bool = True, op_shape=(240, 320)):
+                 refine: bool = True, op_shape=(240, 320),
+                 device_overlay: bool = True):
         self.model = model
         self.variables = variables
         self.edge_fn = edge_fn
@@ -64,9 +88,12 @@ class VideoPipeline:
         self.batch_frames = batch_frames
         self.refine = refine
         self.op_shape = op_shape
+        self.device_overlay = device_overlay
         self._step = jax.jit(self._make_step())
+        # overlay-producing variant, compiled lazily on first video write
+        self._step_overlay = jax.jit(self._make_step(overlay=True))
 
-    def _make_step(self):
+    def _make_step(self, overlay: bool = False):
         model = self.model
         edge_fn = self.edge_fn
         edge_thres = self.edge_thres
@@ -103,7 +130,30 @@ class VideoPipeline:
             # consumer expects)
             seg8 = seg.astype(jnp.uint8)
             edge8 = jnp.clip(edge[..., 0] * 255.0, 0, 255).astype(jnp.uint8)
-            return seg8, edge8, iris_px, pupil_px
+            if not overlay:
+                return seg8, edge8, iris_px, pupil_px
+            # device-rendered overlay frames at the ORIGINAL eye size
+            # (ops/overlay.py): restore the maps' geometry (reference
+            # evaluate.py:179-192), rescale the ellipses (evaluate.py:
+            # 171-177, on device), draw fills + outline bands. The host
+            # then only stacks and mp4-encodes.
+            from ..ops.overlay import (render_overlay_batch,
+                                       restore_map_geometry)
+
+            b, h0, w0 = frames.shape
+            sc = op_shape[1] / w0
+            pad = op_shape[0] - int(h0 * sc)
+            seg_o = restore_map_geometry(seg8, (sc, pad), (h0, w0))
+            edge_o = restore_map_geometry(edge8, (sc, pad), (h0, w0))
+
+            def rescale(el):
+                el = el.astype(jnp.float32)
+                el = el.at[:, 1].add(-float(pad // 2))
+                return el.at[:, :4].divide(sc)
+
+            ov = render_overlay_batch(frames, seg_o, rescale(iris_px),
+                                      rescale(pupil_px))
+            return ov, edge_o, iris_px, pupil_px
 
         return step
 
@@ -171,6 +221,12 @@ class VideoPipeline:
         ellipse_log = {}
         centers = []
         bf = self.batch_frames
+        # device overlay: the full result frames are rendered inside the
+        # jitted step (ops/overlay.py) and the host only stacks + encodes;
+        # otherwise seg/edge come back and the host draws (the reference's
+        # structure, evaluate.py:275)
+        use_dev_overlay = write_videos and self.device_overlay
+        step = self._step_overlay if use_dev_overlay else self._step
 
         def make_batch(start, chunk):
             n_real = chunk.shape[0]
@@ -185,8 +241,8 @@ class VideoPipeline:
                 eyes = chunk
             # async dispatch: jax returns futures, letting the host overlay/
             # encode the PREVIOUS batch while this one computes on device
-            return start, chunk[:n_real], eyes, self._step(self.variables,
-                                                           jnp.asarray(eyes))
+            return start, chunk[:n_real], eyes, step(self.variables,
+                                                     jnp.asarray(eyes))
 
         decoder = self._decode_chunks(path_in, bf, max_frames)
         pending = make_batch(0, next(decoder))
@@ -196,6 +252,8 @@ class VideoPipeline:
             nxt_chunk = next(decoder, None)
             if nxt_chunk is not None:
                 nxt = make_batch(start + bf, nxt_chunk)
+            # first output: device-rendered overlay frames [2B,H0,W0,3]
+            # (use_dev_overlay) or op-space seg maps [2B,240,320]
             seg, edge, iris_px, pupil_px = (np.asarray(a) for a in dev)
             if nxt_chunk is not None:
                 pending = nxt
@@ -221,12 +279,12 @@ class VideoPipeline:
                     canvases = []
                     for e in range(2 if dual else 1):
                         j = i + e * stride
+                        if use_dev_overlay:
+                            canvases.append(seg[j])  # rendered on device
+                            continue
                         crop = chunk[i][:, e * 320:(e + 1) * 320] if dual else chunk[i]
-                        seg_up = cv2.resize(
-                            seg[j].astype(np.uint8),
-                            (crop.shape[1], crop.shape[0]),
-                            interpolation=cv2.INTER_NEAREST,
-                        )
+                        seg_up = restore_map_geometry_np(
+                            seg[j].astype(np.uint8), (sc, pad), crop.shape)
                         ov = plot_segmap_ellpreds(
                             crop, seg_up, per_eye[e]["pupil"], per_eye[e]["iris"]
                         )
@@ -238,8 +296,12 @@ class VideoPipeline:
                     edge_canvas = []
                     for e in range(2 if dual else 1):
                         j = i + e * stride
-                        em = cv2.resize(edge[j],
-                                        (320 if dual else w0, h0))
+                        if use_dev_overlay:
+                            em = edge[j]  # geometry restored on device
+                        else:
+                            em = restore_map_geometry_np(
+                                edge[j], (sc, pad),
+                                (h0, 320 if dual else w0))
                         edge_canvas.append(np.stack([em] * 3, 2))
                     ec = np.concatenate(edge_canvas, 1)
                     if ec.shape[1] < w0:
