@@ -250,6 +250,84 @@ def _require_devices(probe_timeout_s=120, wait_s=900):
         time.sleep(min(30, max(0.0, remaining)))
 
 
+# Canonical artifact locations written by scripts/regen_artifacts.sh (the
+# from-nothing chain: BDCN -> teacher -> gated student ladder). When the
+# corresponding --*ckpt flag is empty and the artifact exists, bench serves
+# it so the argless driver invocation measures the exact gated weights
+# rather than random ones. Keyed by (setting, chz, edge_ds, seg_ds) so a
+# checkpoint is only served at the serving shape it was distilled/gated at.
+_CANONICAL_CKPTS = {
+    ("baseline_edge", 32, 4, 4): "logs/distill/calib_e4s4_rm2/checkpoints",
+    ("baseline_edge", 32, 4, 2): "logs/distill/calib_e4s2_rm2/checkpoints",
+}
+_CANONICAL_BDCN = "logs/bdcn/r2/checkpoints"
+# Distilled-student serving rungs, fastest first; each is served only when
+# its distill run's gate.json says accepted. cfg keys mirror run_one kwargs.
+_STUDENT_RUNGS = [
+    (dict(setting="baseline", chz=6, growth=1.0, seg_downscale=4,
+          input_downscale=2),
+     "logs/distill/ns_chz6_in2_rm2/checkpoints"),
+    (dict(setting="baseline", chz=6, growth=1.0, seg_downscale=4,
+          input_downscale=1),
+     "logs/distill/ns_chz6_rm2/checkpoints"),
+]
+# shape measured when no gated student artifact exists on disk
+_DEFAULT_STUDENT_CFG = _STUDENT_RUNGS[-1][0]
+
+
+def _gate_record(ckpt_dir):
+    """The JSON fidelity-gate verdict recorded beside ``ckpt_dir`` by the
+    distill run that produced it (cli/distill.py writes gate.json), or None.
+    Never serve an ungated student as a gated artifact."""
+    import os
+
+    gate = os.path.join(os.path.dirname(ckpt_dir.rstrip("/")), "gate.json")
+    try:
+        with open(gate) as f:
+            rec = json.load(f)
+        return rec if isinstance(rec, dict) else None
+    except (OSError, ValueError):
+        return None
+
+
+def _gate_passed(ckpt_dir):
+    rec = _gate_record(ckpt_dir)
+    return bool(rec and rec.get("accepted"))
+
+
+def _autodiscover_checkpoints(args, root=None):
+    import os
+
+    here = root or os.path.dirname(os.path.abspath(__file__))
+    pairs = [("ckpt", _CANONICAL_CKPTS.get(
+                  (args.setting, args.chz,
+                   args.edge_downscale, args.seg_downscale), ""), True),
+             ("bdcn_ckpt", _CANONICAL_BDCN, False)]
+    for attr, rel, needs_gate in pairs:
+        if rel and not getattr(args, attr):
+            path = os.path.join(here, rel)
+            if not os.path.isdir(path):
+                continue
+            if needs_gate and not _gate_passed(path):
+                print(f"found {rel} but no passing gate.json; "
+                      f"not serving it", file=sys.stderr)
+                continue
+            setattr(args, attr, path)
+            print(f"auto-discovered --{attr} {rel}", file=sys.stderr)
+    # fastest gated student rung wins (e.g. the fast-input in/2 student
+    # outruns the full-res one; it is only served once ITS gate passed)
+    args.student_cfg = dict(_DEFAULT_STUDENT_CFG)
+    if not args.student_ckpt:
+        for cfg, rel in _STUDENT_RUNGS:
+            path = os.path.join(here, rel)
+            if os.path.isdir(path) and _gate_passed(path):
+                args.student_ckpt = path
+                args.student_cfg = dict(cfg)
+                print(f"auto-discovered --student_ckpt {rel} "
+                      f"(rung: {cfg})", file=sys.stderr)
+                break
+
+
 def main():
     import argparse
     import os
@@ -319,6 +397,7 @@ def main():
                         "a few serving steps into this directory "
                         "(TensorBoard-loadable)")
     args = p.parse_args()
+    _autodiscover_checkpoints(args)
 
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
 
@@ -401,19 +480,34 @@ def main():
         # which beat its teacher's GT mIoU with real-frame mix-in —
         # BASELINE.md).
         try:
-            s_fps, s_extras = run_one(dtype, 256, False, 4, 4,
-                                      iters=args.iters, analyze=True,
-                                      setting="baseline", chz=6, growth=1.0,
-                                      ckpt=args.student_ckpt)
+            cfg = getattr(args, "student_cfg", dict(_DEFAULT_STUDENT_CFG))
+            s_fps, s_extras = run_one(
+                dtype, 256, False, 4, cfg["seg_downscale"],
+                iters=args.iters, analyze=True, setting=cfg["setting"],
+                chz=cfg["chz"], growth=cfg["growth"],
+                input_downscale=cfg["input_downscale"],
+                ckpt=args.student_ckpt)
+            cfg_str = (f"{cfg['setting']} chz{cfg['chz']} "
+                       f"growth{cfg['growth']} seg/{cfg['seg_downscale']}"
+                       + (f" in/{cfg['input_downscale']}"
+                          if cfg["input_downscale"] != 1 else "")
+                       + " b256")
             student = {
                 "student_shape_fps": round(s_fps, 1),
-                "student_shape_cfg": "baseline chz6 growth1.0 seg/4 b256",
+                "student_shape_cfg": cfg_str,
                 "student_shape_ungated": not bool(args.student_ckpt),
                 "student_shape_gf_per_frame": round(
                     s_extras.get("gflops_per_frame", 0.0), 1),
             }
             if args.student_ckpt:
                 student["student_ckpt"] = args.student_ckpt
+                srec = _gate_record(args.student_ckpt)
+                if srec and srec.get("accepted"):
+                    student["student_gate_evidence"] = (
+                        f"GT mIoU drop {srec.get('miou_drop', 0.0):+.4f} "
+                        "vs teacher, real-clip agreement "
+                        f"{srec.get('real_agreement_miou', float('nan')):.3f}"
+                        " (gate.json beside ckpt)")
             tag = ("gated ckpt " + args.student_ckpt if args.student_ckpt
                    else "ungated weights")
             print(f"student rung ({tag}): {s_fps:.1f} fps "
@@ -446,25 +540,34 @@ def main():
     gate = {}
     # trained-checkpoint accuracy gates: shortcut-CALIBRATED chz32 students
     # (distilled at these exact serving configurations with real-frame
-    # mix-in, eval frames disjoint from training frames) passed
-    # distill_gate, BEATING the full-res teacher's GT mIoU (BASELINE.md;
-    # checkpoints logs/distill/calib_e4s{2,4}_rm2)
-    gated_shapes = {
-        (4, 2): "calibrated+real-mix distillation, mIoU drop -0.007",
-        (4, 4): "calibrated+real-mix distillation, mIoU drop -0.010",
-    }
-    key = (args.edge_downscale, args.seg_downscale)
-    if (args.setting == "baseline_edge" and args.chz == 32
-            and args.growth == 1.2 and args.input_downscale == 1
-            and key in gated_shapes):
+    # mix-in, eval frames disjoint from training frames) pass distill_gate,
+    # BEATING the full-res teacher's GT mIoU (BASELINE.md). Evidence is
+    # read from the gate.json the distill run recorded beside the served
+    # checkpoint — never hardcoded numbers.
+    rec = _gate_record(args.ckpt) if args.ckpt else None
+    flagship_cfg = (args.setting == "baseline_edge" and args.chz == 32
+                    and args.growth == 1.2 and args.input_downscale == 1)
+    if rec and rec.get("accepted"):
         # "shape_gated": a student of THIS architecture+serving shape passed
         # the fidelity gate at a trained checkpoint; "gated_ckpt_served"
-        # says whether this very measurement loaded such weights (--ckpt)
-        # or equivalent random ones (throughput is weight-independent)
+        # says whether this very measurement loaded those weights
+        ev = ("calibrated+real-mix distillation at this serving shape: "
+              f"GT mIoU drop {rec.get('miou_drop', 0.0):+.4f} vs teacher")
+        if "real_agreement_miou" in rec:
+            ev += (", real-clip teacher agreement "
+                   f"{rec['real_agreement_miou']:.3f} on "
+                   f"{rec.get('real_frames', '?')} unseen frames")
+        gate = {"flagship_shape_gated": True,
+                "flagship_gate_evidence": ev + " (gate.json beside ckpt)",
+                "gated_ckpt_served": True}
+    elif (flagship_cfg and (args.setting, args.chz, args.edge_downscale,
+                            args.seg_downscale) in _CANONICAL_CKPTS):
         gate = {"flagship_shape_gated": True,
                 "flagship_gate_evidence":
-                    gated_shapes[key] + " (BASELINE.md)",
-                "gated_ckpt_served": bool(args.ckpt)}
+                    "calibrated+real-mix distillation (BASELINE.md gated "
+                    "ladder; artifacts not on disk — regenerate with "
+                    "scripts/regen_artifacts.sh)",
+                "gated_ckpt_served": False}
     print(json.dumps({
         "metric": metric,
         "value": round(fps, 1),

@@ -317,14 +317,20 @@ def main(argv=None):
             teacher_edge_fn=trainer.teacher_edge_fn)
         if real is not None:
             fid.update(real)
-    print(json.dumps({"student_chz": args.chz, "student_setting": args.setting,
-                      "seg_downscale": args.seg_downscale,
-                      "edge_downscale": args.edge_downscale,
-                      "input_downscale": args.input_downscale,
-                      "gated_tag": gated_tag,
-                      **{k: round(v, 4) if isinstance(v, float) else v
-                         for k, v in fid.items()},
-                      "accepted": bool(accepted)}))
+    record = {"student_chz": args.chz, "student_setting": args.setting,
+              "seg_downscale": args.seg_downscale,
+              "edge_downscale": args.edge_downscale,
+              "input_downscale": args.input_downscale,
+              "gated_tag": gated_tag,
+              **{k: round(v, 4) if isinstance(v, float) else v
+                 for k, v in fid.items()},
+              "accepted": bool(accepted)}
+    print(json.dumps(record))
+    # persist the verdict next to the artifact so downstream consumers
+    # (bench.py checkpoint auto-discovery) can refuse to serve a student
+    # that never passed its gate
+    with open(os.path.join(log_dir, "gate.json"), "w") as f:
+        json.dump(record, f, indent=1)
     return fid, accepted
 
 

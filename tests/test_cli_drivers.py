@@ -209,3 +209,94 @@ class TestHostBench:
 
         rec = json.loads(line)
         assert rec["metric"] == "host_pipeline_samples_per_sec"
+
+
+class TestBenchCheckpointAutodiscovery:
+    """bench.py serves the canonical regenerated artifacts
+    (scripts/regen_artifacts.sh) when its --*ckpt flags are empty — but a
+    distilled student is only served if its run recorded a PASSING fidelity
+    gate (cli/distill.py writes gate.json beside the checkpoints)."""
+
+    def _args(self):
+        import argparse
+
+        return argparse.Namespace(setting="baseline_edge", chz=32,
+                                  edge_downscale=4, seg_downscale=4,
+                                  ckpt="", bdcn_ckpt="", student_ckpt="")
+
+    def _layout(self, tmp_path, accepted=None):
+        import json
+
+        for rel in ("logs/distill/calib_e4s4_rm2/checkpoints",
+                    "logs/distill/ns_chz6_rm2/checkpoints",
+                    "logs/bdcn/r2/checkpoints"):
+            (tmp_path / rel).mkdir(parents=True)
+        if accepted is not None:
+            for run in ("calib_e4s4_rm2", "ns_chz6_rm2"):
+                gate = tmp_path / "logs/distill" / run / "gate.json"
+                gate.write_text(json.dumps({"accepted": accepted}))
+
+    def test_serves_gated_artifacts(self, tmp_path):
+        import bench
+
+        self._layout(tmp_path, accepted=True)
+        args = self._args()
+        bench._autodiscover_checkpoints(args, root=str(tmp_path))
+        assert args.ckpt.endswith("calib_e4s4_rm2/checkpoints")
+        assert args.student_ckpt.endswith("ns_chz6_rm2/checkpoints")
+        assert args.student_cfg["input_downscale"] == 1
+        assert args.bdcn_ckpt.endswith("bdcn/r2/checkpoints")
+
+    def test_prefers_faster_gated_student_rung(self, tmp_path):
+        import json
+
+        import bench
+
+        self._layout(tmp_path, accepted=True)
+        in2 = tmp_path / "logs/distill/ns_chz6_in2_rm2"
+        (in2 / "checkpoints").mkdir(parents=True)
+        (in2 / "gate.json").write_text(json.dumps({"accepted": True}))
+        args = self._args()
+        bench._autodiscover_checkpoints(args, root=str(tmp_path))
+        assert args.student_ckpt.endswith("ns_chz6_in2_rm2/checkpoints")
+        assert args.student_cfg["input_downscale"] == 2
+        # an in2 rung whose gate FAILED must not displace the gated in1 rung
+        (in2 / "gate.json").write_text(json.dumps({"accepted": False}))
+        args = self._args()
+        bench._autodiscover_checkpoints(args, root=str(tmp_path))
+        assert args.student_ckpt.endswith("ns_chz6_rm2/checkpoints")
+        assert args.student_cfg["input_downscale"] == 1
+
+    def test_refuses_unaccepted_or_ungated(self, tmp_path):
+        import bench
+
+        self._layout(tmp_path, accepted=False)
+        args = self._args()
+        bench._autodiscover_checkpoints(args, root=str(tmp_path))
+        assert args.ckpt == "" and args.student_ckpt == ""
+        # BDCN has no fidelity gate (its evidence is the downstream mIoU
+        # table in BASELINE.md) — still served
+        assert args.bdcn_ckpt.endswith("bdcn/r2/checkpoints")
+        self._layout(tmp_path.joinpath("no_gate"), accepted=None)
+        args = self._args()
+        bench._autodiscover_checkpoints(args, root=str(tmp_path / "no_gate"))
+        assert args.ckpt == "" and args.student_ckpt == ""
+
+    def test_explicit_flags_win(self, tmp_path):
+        import bench
+
+        self._layout(tmp_path, accepted=True)
+        args = self._args()
+        args.ckpt = "explicit"
+        bench._autodiscover_checkpoints(args, root=str(tmp_path))
+        assert args.ckpt == "explicit"
+
+    def test_shape_mismatch_serves_no_flagship_ckpt(self, tmp_path):
+        import bench
+
+        self._layout(tmp_path, accepted=True)
+        args = self._args()
+        args.seg_downscale = 1  # not a shape any calibrated student was gated at
+        bench._autodiscover_checkpoints(args, root=str(tmp_path))
+        assert args.ckpt == ""
+        assert args.student_ckpt.endswith("ns_chz6_rm2/checkpoints")

@@ -227,6 +227,10 @@ def test_distill_cli_smoke(tmp_path):
     line = out.stdout.strip().splitlines()[-1]
     rec = json.loads(line)
     assert "accepted" in rec and "agreement_miou" in rec
+    # the verdict is persisted beside the artifact so bench.py's checkpoint
+    # auto-discovery can refuse students that never passed their gate
+    with open(tmp_path / "distill" / "distill" / "gate.json") as f:
+        assert json.load(f)["accepted"] == rec["accepted"]
 
 
 class TestServingShapeDistill:
