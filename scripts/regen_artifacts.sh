@@ -30,12 +30,29 @@ run "$LOG/bdcn/r2/checkpoints/bdcn" \
 
 BDCN="$LOG/bdcn/r2/checkpoints"
 
-# 2. baseline_edge chz32 teacher (BASELINE.md round-2 recipe).
+# 2. baseline_edge chz32 teacher (BASELINE.md recipe; 20 epochs so the
+#    reference schedule — plateau patience 5, early-stop patience 10 —
+#    actually gets to fire; at 8 epochs a mid-run regression can freeze
+#    the best checkpoint at a weak early epoch).
 run "$LOG/ritnet_v2/teacher_r2/checkpoints/best" \
     python cli/train.py --setting baseline_edge --synthetic 128 --batchsize 16 \
-    --remat 1 --epochs 8 --bdcn_weights "$BDCN" --expname teacher_r2 --log_dir "$LOG"
+    --remat 1 --epochs 20 --bdcn_weights "$BDCN" --expname teacher_r2 --log_dir "$LOG"
 
 T="$LOG/ritnet_v2/teacher_r2/checkpoints"
+
+# 2b. No-edge control at identical settings: the edge-guided-beats-baseline
+#     comparison (BASELINE.md) must be reproducible from the same chain.
+run "$LOG/ritnet_v2/control_r2/checkpoints/best" \
+    python cli/train.py --setting baseline --synthetic 128 --batchsize 16 \
+    --remat 1 --epochs 20 --expname control_r2 --log_dir "$LOG"
+
+# 2c. Post-hoc serving-shortcut gate table at the trained teacher: evidence
+#     that eval-time downscales FAIL the gate (so calibration is required).
+if [ ! -f "$LOG/gate_posthoc.jsonl" ]; then
+    echo "== run: gate_serving post-hoc table"
+    python cli/gate_serving.py --ckpt "$T" --bdcn_weights "$BDCN" 2>&1 \
+        | tee -a "$LOG/regen.log" | grep -E '^\{' > "$LOG/gate_posthoc.jsonl" || true
+fi
 
 # 3. Flagship shortcut calibration at the bench default shape (edge/4 seg/4):
 #    same chz32 arch, serving downscales trained through, teacher-bootstrapped.
@@ -44,6 +61,14 @@ run "$LOG/distill/calib_e4s4_rm2/checkpoints/best" \
     --init_from_teacher 1 --edge_downscale 4 --seg_downscale 4 --epochs 15 \
     --real_mix 128 --bdcn_weights "$BDCN" --synthetic 128 \
     --expname calib_e4s4_rm2 --log_dir "$LOG"
+
+# 3b. The same calibration at edge/4 seg/2 (the former headline shape;
+#     bench serves it under --seg-downscale 2).
+run "$LOG/distill/calib_e4s2_rm2/checkpoints/best" \
+    python cli/distill.py --teacher_ckpt "$T" --setting baseline_edge --chz 32 \
+    --init_from_teacher 1 --edge_downscale 4 --seg_downscale 2 --epochs 15 \
+    --real_mix 128 --bdcn_weights "$BDCN" --synthetic 128 \
+    --expname calib_e4s2_rm2 --log_dir "$LOG"
 
 # 4. North-star rung: baseline chz6 growth1.0 seg/4 (the 5,000+ fps shape).
 run "$LOG/distill/ns_chz6_rm2/checkpoints/best" \
