@@ -48,6 +48,11 @@ def parse_args(argv=None, train=True):
     # TPU-native additions
     p.add_argument("--synthetic", type=int, default=0,
                    help="use the synthetic dataset (n samples) instead of H5")
+    p.add_argument("--synthetic_degrade", type=float, default=0.0,
+                   help="photometric degradation strength [0,1] for the "
+                        "synthetic renderer (contrast compression, defocus "
+                        "blur, noise, vignette; GT stays exact) — the "
+                        "edge-guidance stress distribution")
     p.add_argument("--image_height", type=int, default=240)
     p.add_argument("--image_width", type=int, default=320)
     p.add_argument("--bdcn_weights", type=str, default="",
@@ -137,9 +142,13 @@ def build_datasets(args, aug_train=True):
     size = (args.image_height, args.image_width)
     if args.synthetic or args.curObj == "synthetic":
         n = args.synthetic or 256
-        train = SyntheticEyeDataset(n, size, aug=aug_train, seed=1)
-        valid = SyntheticEyeDataset(max(n // 4, 8), size, aug=False, seed=2)
-        test = SyntheticEyeDataset(max(n // 4, 8), size, aug=False, seed=3)
+        deg = getattr(args, "synthetic_degrade", 0.0)
+        train = SyntheticEyeDataset(n, size, aug=aug_train, seed=1,
+                                    degrade=deg)
+        valid = SyntheticEyeDataset(max(n // 4, 8), size, aug=False, seed=2,
+                                    degrade=deg)
+        test = SyntheticEyeDataset(max(n // 4, 8), size, aug=False, seed=3,
+                                   degrade=deg)
         return train, valid, test
 
     cond_pkl = os.path.join(args.test_mode, f"cond_{args.curObj}.pkl")

@@ -42,6 +42,7 @@ def parse_args(argv=None):
     p.add_argument("--log_dir", type=str, default="logs")
     # data (same flags as cli/train.py)
     p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--synthetic_degrade", type=float, default=0.0)
     p.add_argument("--curObj", type=str, default="synthetic")
     p.add_argument("--path2data", type=str, default="")
     p.add_argument("--test_mode", type=str, default="leaveoneout")

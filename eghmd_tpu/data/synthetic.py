@@ -70,6 +70,40 @@ def render_eye(rng: np.random.RandomState, h: int = 240, w: int = 320):
     return np.clip(img, 0, 255).astype(np.uint8), mask, iris_param, pupil_param, pupil_center
 
 
+def degrade_image(img: np.ndarray, rng: np.random.RandomState,
+                  strength: float) -> np.ndarray:
+    """Photometric degradation with GT kept exact: contrast compression,
+    defocus blur, sensor noise, and an illumination vignette, each scaled by
+    ``strength`` in [0, 1].
+
+    The clean renderer's intensity separation (sclera 190 / iris 95 /
+    pupil 28) makes segmentation saturate — a no-edge net matches the
+    edge-guided one at convergence (BASELINE.md). This mode weakens the
+    boundary evidence in the IMAGE while labels/ellipses stay exact, which
+    is the regime the reference paper motivates edge guidance for (low
+    contrast / defocused near-eye IR frames)."""
+    out = img.astype(np.float32)
+    mean = float(out.mean())
+    out = mean + (out - mean) * (1.0 - strength * rng.uniform(0.5, 0.75))
+    sigma = strength * rng.uniform(1.0, 2.5)
+    if sigma > 1e-3:
+        try:
+            import cv2
+
+            out = cv2.GaussianBlur(out, (0, 0), sigma)
+        except Exception:  # pragma: no cover
+            from scipy import ndimage
+
+            out = ndimage.gaussian_filter(out, sigma)
+    h, w = out.shape
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    cx, cy = rng.uniform(0.3 * w, 0.7 * w), rng.uniform(0.3 * h, 0.7 * h)
+    r2 = ((xx - cx) / w) ** 2 + ((yy - cy) / h) ** 2
+    out *= 1.0 - strength * rng.uniform(0.2, 0.45) * r2 / max(r2.max(), 1e-6)
+    out += rng.normal(0.0, strength * rng.uniform(8.0, 18.0), out.shape)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
 def render_edge_map(target: np.ndarray) -> np.ndarray:
     """Ground-truth 'BDCN-like' edge map from a remapped label map [H, W].
 
@@ -100,12 +134,14 @@ class SyntheticEyeDataset:
 
     def __init__(self, n: int = 256, size: Tuple[int, int] = (240, 320),
                  aug: bool = False, seed: int = 0,
-                 missing_mask_frac: float = 0.0, cache: bool = True):
+                 missing_mask_frac: float = 0.0, cache: bool = True,
+                 degrade: float = 0.0):
         self.n = n
         self.size = size
         self.aug = aug
         self.seed = seed
         self.missing_mask_frac = missing_mask_frac
+        self.degrade = degrade
         # Every sample is a deterministic function of (seed, idx) — the RNG
         # is re-seeded per index, including the augmentation draws — so
         # caching is semantics-preserving. It removes the ~0.3 s/sample of
@@ -134,6 +170,10 @@ class SyntheticEyeDataset:
         rng = np.random.RandomState(self.seed * 100003 + idx)
         h, w = self.size
         img, mask, iris_p, pupil_p, pupil_c = render_eye(rng, h, w)
+        if self.degrade > 0.0:
+            # salted RNG: degrade draws never perturb the base sample stream
+            drng = np.random.RandomState(self.seed * 100003 + idx + 777000007)
+            img = degrade_image(img, drng, self.degrade)
         missing = rng.rand() < self.missing_mask_frac
         if missing:
             mask = -np.ones_like(mask)

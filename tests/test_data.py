@@ -97,6 +97,28 @@ class TestSynthetic:
         assert e.shape == (240, 320, 1)
         assert 0 <= e.min() and e.max() <= 1.0
 
+    def test_degrade_keeps_gt_and_weakens_contrast(self):
+        """degrade>0 compresses image contrast (the edge-guidance stress
+        distribution) while labels/ellipses stay bit-identical, and the
+        degradation is deterministic per (seed, idx)."""
+        clean = SyntheticEyeDataset(2, (120, 160), seed=7, cache=False)
+        hard = SyntheticEyeDataset(2, (120, 160), seed=7, cache=False,
+                                   degrade=1.0)
+        hard2 = SyntheticEyeDataset(2, (120, 160), seed=7, cache=False,
+                                    degrade=1.0)
+        c, h = clean[0], hard[0]
+        np.testing.assert_array_equal(c.target, h.target)
+        np.testing.assert_allclose(c.el_norm, h.el_norm)
+        # per-image standardization fixes std=1, so assert raw-u8 contrast
+        from eghmd_tpu.data.synthetic import degrade_image, render_eye
+
+        rng = np.random.RandomState(3)
+        raw = render_eye(rng, 120, 160)[0]
+        deg = degrade_image(raw, np.random.RandomState(4), 1.0)
+        assert float(deg.std()) < 0.7 * float(raw.std())
+        assert not np.array_equal(c.image, h.image)
+        np.testing.assert_array_equal(h.image, hard2[0].image)
+
 
 class TestH5:
     def test_round_trip(self, tmp_path):
