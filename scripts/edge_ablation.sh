@@ -1,0 +1,50 @@
+#!/bin/bash
+# Does edge guidance help when boundary evidence is weak? The clean
+# synthetic distribution saturates (a no-edge control matches the
+# edge-guided net at convergence — BASELINE.md), so this ablation re-runs
+# the comparison on the DEGRADED renderer (--synthetic_degrade 1.0:
+# contrast compression + defocus + noise + vignette, iris-pupil SNR
+# 5.1 -> 2.1, GT exact). Three arms at identical settings, plus a
+# degraded-trained BDCN for the realistic arm:
+#   control   : baseline (no edge input)
+#   edge_bdcn : baseline_edge fed by a BDCN trained on the same distribution
+#   edge_gt   : baseline_edge fed ORACLE GT boundary maps (upper bound:
+#               if even perfect edges don't help, edge guidance can't)
+# Results land in each run's history.json; summarize with
+# scripts/summarize_ablation.py. Idempotent: finished stages are skipped.
+set -u
+cd "$(dirname "$0")/.."
+LOG=${1:-logs}
+DEG=${DEG:-1.0}
+
+run() {
+    local marker=$1; shift
+    if [ -d "$marker" ]; then
+        echo "== skip (exists): $marker"
+        return 0
+    fi
+    echo "== run: $*"
+    "$@" 2>&1 | tee -a "$LOG/edge_ablation.log"
+}
+
+run "$LOG/bdcn/hard/checkpoints/bdcn" \
+    python cli/train_bdcn.py --synthetic 64 --epochs 10 \
+    --synthetic_degrade "$DEG" --expname hard --log_dir "$LOG"
+
+run "$LOG/ritnet_v2/ctrl_hard/checkpoints/best" \
+    python cli/train.py --setting baseline --synthetic 128 --batchsize 16 \
+    --remat 1 --epochs 20 --synthetic_degrade "$DEG" \
+    --expname ctrl_hard --log_dir "$LOG"
+
+run "$LOG/ritnet_v2/edge_hard_bdcn/checkpoints/best" \
+    python cli/train.py --setting baseline_edge --synthetic 128 --batchsize 16 \
+    --remat 1 --epochs 20 --synthetic_degrade "$DEG" \
+    --bdcn_weights "$LOG/bdcn/hard/checkpoints" \
+    --expname edge_hard_bdcn --log_dir "$LOG"
+
+run "$LOG/ritnet_v2/edge_hard_gt/checkpoints/best" \
+    python cli/train.py --setting baseline_edge --synthetic 128 --batchsize 16 \
+    --remat 1 --epochs 20 --synthetic_degrade "$DEG" \
+    --expname edge_hard_gt --log_dir "$LOG"
+
+echo "== ablation complete"
