@@ -83,6 +83,16 @@ def main(argv=None):
         print(f"resumed BDCN params from {ckpt_dir}")
     params, history = trainer.fit(train_pipe, valid_pipe, epochs=args.epochs,
                                   checkpoint_dir=ckpt_dir, params=params)
+    # persist the training curve beside the checkpoint so downstream
+    # quality gates (scripts/bdcn_gate.py) can read val_f1 without
+    # re-running evaluation; appended across --resume continuations
+    hist_path = os.path.join(os.path.dirname(ckpt_dir), "history.json")
+    prior = []
+    if args.resume and os.path.exists(hist_path):
+        with open(hist_path) as f:
+            prior = json.load(f)
+    with open(hist_path, "w") as f:
+        json.dump(prior + history, f, indent=1)
     final = history[-1]
     print(json.dumps({
         "checkpoint": ckpt_dir,
