@@ -254,22 +254,33 @@ def _require_devices(probe_timeout_s=120, wait_s=900):
 # from-nothing chain: BDCN -> teacher -> gated student ladder). When the
 # corresponding --*ckpt flag is empty and the artifact exists, bench serves
 # it so the argless driver invocation measures the exact gated weights
-# rather than random ones. Keyed by (setting, chz, edge_ds, seg_ds) so a
-# checkpoint is only served at the serving shape it was distilled/gated at.
+# rather than random ones. Keyed by (setting, chz, edge_ds, seg_ds, in_ds)
+# so a checkpoint is only served at the serving shape it was distilled and
+# gated at. Candidates are tried in order: the COMMITTED artifacts/ tree
+# first (evidence travels with the repo), then the live logs/ run dirs.
 _CANONICAL_CKPTS = {
-    ("baseline_edge", 32, 4, 4): "logs/distill/calib_e4s4_rm2/checkpoints",
-    ("baseline_edge", 32, 4, 2): "logs/distill/calib_e4s2_rm2/checkpoints",
+    ("baseline_edge", 32, 4, 4, 1): (
+        "artifacts/calib_e4s4_rm2/checkpoints",
+        "logs/distill/calib_e4s4_rm2/checkpoints"),
+    ("baseline_edge", 32, 4, 4, 2): (
+        "artifacts/calib_e4s4_in2_rm2/checkpoints",
+        "logs/distill/calib_e4s4_in2_rm2/checkpoints"),
+    ("baseline_edge", 32, 4, 2, 1): (
+        "artifacts/calib_e4s2_rm2/checkpoints",
+        "logs/distill/calib_e4s2_rm2/checkpoints"),
 }
-_CANONICAL_BDCN = "logs/bdcn/r2/checkpoints"
+_CANONICAL_BDCN = ("artifacts/bdcn/checkpoints", "logs/bdcn/r2/checkpoints")
 # Distilled-student serving rungs, fastest first; each is served only when
 # its distill run's gate.json says accepted. cfg keys mirror run_one kwargs.
 _STUDENT_RUNGS = [
     (dict(setting="baseline", chz=6, growth=1.0, seg_downscale=4,
           input_downscale=2),
-     "logs/distill/ns_chz6_in2_rm2/checkpoints"),
+     ("artifacts/ns_chz6_in2_rm2/checkpoints",
+      "logs/distill/ns_chz6_in2_rm2/checkpoints")),
     (dict(setting="baseline", chz=6, growth=1.0, seg_downscale=4,
           input_downscale=1),
-     "logs/distill/ns_chz6_rm2/checkpoints"),
+     ("artifacts/ns_chz6_rm2/checkpoints",
+      "logs/distill/ns_chz6_rm2/checkpoints")),
 ]
 # shape measured when no gated student artifact exists on disk
 _DEFAULT_STUDENT_CFG = _STUDENT_RUNGS[-1][0]
@@ -295,18 +306,41 @@ def _gate_passed(ckpt_dir):
     return bool(rec and rec.get("accepted"))
 
 
+def _first_existing(candidates, here):
+    """First (abs_path, rel) among ``candidates`` that exists on disk."""
+    import os
+
+    for rel in candidates:
+        path = os.path.join(here, rel)
+        if os.path.isdir(path):
+            return path, rel
+    return "", ""
+
+
 def _autodiscover_checkpoints(args, root=None):
     import os
 
     here = root or os.path.dirname(os.path.abspath(__file__))
+    # --input-downscale 0 = auto: promote the flagship measurement to the
+    # fast-input (in/2) operating point iff a gate-PASSING calibrated
+    # artifact for that exact shape exists on disk; else full-res input.
+    if args.input_downscale == 0:
+        args.input_downscale = 1
+        key = (args.setting, args.chz, args.edge_downscale,
+               args.seg_downscale, 2)
+        path, rel = _first_existing(_CANONICAL_CKPTS.get(key, ()), here)
+        if path and _gate_passed(path):
+            args.input_downscale = 2
+            print(f"flagship promoted to fast-input in/2 (gated artifact "
+                  f"{rel})", file=sys.stderr)
     pairs = [("ckpt", _CANONICAL_CKPTS.get(
-                  (args.setting, args.chz,
-                   args.edge_downscale, args.seg_downscale), ""), True),
+                  (args.setting, args.chz, args.edge_downscale,
+                   args.seg_downscale, args.input_downscale), ()), True),
              ("bdcn_ckpt", _CANONICAL_BDCN, False)]
-    for attr, rel, needs_gate in pairs:
-        if rel and not getattr(args, attr):
-            path = os.path.join(here, rel)
-            if not os.path.isdir(path):
+    for attr, candidates, needs_gate in pairs:
+        if candidates and not getattr(args, attr):
+            path, rel = _first_existing(candidates, here)
+            if not path:
                 continue
             if needs_gate and not _gate_passed(path):
                 print(f"found {rel} but no passing gate.json; "
@@ -318,9 +352,9 @@ def _autodiscover_checkpoints(args, root=None):
     # outruns the full-res one; it is only served once ITS gate passed)
     args.student_cfg = dict(_DEFAULT_STUDENT_CFG)
     if not args.student_ckpt:
-        for cfg, rel in _STUDENT_RUNGS:
-            path = os.path.join(here, rel)
-            if os.path.isdir(path) and _gate_passed(path):
+        for cfg, candidates in _STUDENT_RUNGS:
+            path, rel = _first_existing(candidates, here)
+            if path and _gate_passed(path):
                 args.student_ckpt = path
                 args.student_cfg = dict(cfg)
                 print(f"auto-discovered --student_ckpt {rel} "
@@ -365,11 +399,13 @@ def main():
                         "<32 = a distilled serving student, see "
                         "training/distill.py — must pass its fidelity gate)")
     p.add_argument("--growth", type=float, default=1.2)
-    p.add_argument("--input-downscale", type=int, default=1,
+    p.add_argument("--input-downscale", type=int, default=0,
                    help="fast-input factor: run the whole network at 1/N "
                         "res (inputs pooled at model entry, logits "
                         "upsampled); must be trained through "
-                        "(cli/distill.py --input_downscale) and gated")
+                        "(cli/distill.py --input_downscale) and gated. "
+                        "0 = auto: in/2 iff a gate-passing calibrated "
+                        "artifact for this shape exists on disk, else 1")
     p.add_argument("--ckpt", default="",
                    help="orbax checkpoint dir: bench the exact trained/"
                         "gated weights (throughput is weight-independent; "
@@ -545,8 +581,6 @@ def main():
     # read from the gate.json the distill run recorded beside the served
     # checkpoint — never hardcoded numbers.
     rec = _gate_record(args.ckpt) if args.ckpt else None
-    flagship_cfg = (args.setting == "baseline_edge" and args.chz == 32
-                    and args.growth == 1.2 and args.input_downscale == 1)
     if rec and rec.get("accepted"):
         # "shape_gated": a student of THIS architecture+serving shape passed
         # the fidelity gate at a trained checkpoint; "gated_ckpt_served"
@@ -560,14 +594,16 @@ def main():
         gate = {"flagship_shape_gated": True,
                 "flagship_gate_evidence": ev + " (gate.json beside ckpt)",
                 "gated_ckpt_served": True}
-    elif (flagship_cfg and (args.setting, args.chz, args.edge_downscale,
-                            args.seg_downscale) in _CANONICAL_CKPTS):
-        gate = {"flagship_shape_gated": True,
-                "flagship_gate_evidence":
-                    "calibrated+real-mix distillation (BASELINE.md gated "
-                    "ladder; artifacts not on disk — regenerate with "
-                    "scripts/regen_artifacts.sh)",
-                "gated_ckpt_served": False}
+    elif (args.setting, args.chz, args.edge_downscale, args.seg_downscale,
+          args.input_downscale) in _CANONICAL_CKPTS:
+        # This shape is on the gated ladder but no gate-passing artifact is
+        # on disk: the flag is EARNED by an on-disk gate.json, never by the
+        # shape's membership in the table (VERDICT r2 weak #1).
+        gate = {"flagship_shape_gated": False,
+                "gated_ckpt_served": False,
+                "gate_evidence_missing":
+                    "no gate-passing checkpoint on disk for this serving "
+                    "shape — regenerate with scripts/regen_artifacts.sh"}
     print(json.dumps({
         "metric": metric,
         "value": round(fps, 1),

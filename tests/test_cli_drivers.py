@@ -217,11 +217,12 @@ class TestBenchCheckpointAutodiscovery:
     distilled student is only served if its run recorded a PASSING fidelity
     gate (cli/distill.py writes gate.json beside the checkpoints)."""
 
-    def _args(self):
+    def _args(self, input_downscale=0):
         import argparse
 
         return argparse.Namespace(setting="baseline_edge", chz=32,
                                   edge_downscale=4, seg_downscale=4,
+                                  input_downscale=input_downscale,
                                   ckpt="", bdcn_ckpt="", student_ckpt="")
 
     def _layout(self, tmp_path, accepted=None):
@@ -300,3 +301,55 @@ class TestBenchCheckpointAutodiscovery:
         bench._autodiscover_checkpoints(args, root=str(tmp_path))
         assert args.ckpt == ""
         assert args.student_ckpt.endswith("ns_chz6_rm2/checkpoints")
+
+    def test_committed_artifacts_preferred_over_logs(self, tmp_path):
+        """The committed artifacts/ tree outranks live logs/ run dirs: the
+        repo alone must carry the served evidence (VERDICT r2 #1)."""
+        import json
+
+        import bench
+
+        self._layout(tmp_path, accepted=True)
+        for run in ("calib_e4s4_rm2", "ns_chz6_rm2", "bdcn"):
+            art = tmp_path / "artifacts" / run
+            (art / "checkpoints").mkdir(parents=True)
+            (art / "gate.json").write_text(json.dumps({"accepted": True}))
+        args = self._args()
+        bench._autodiscover_checkpoints(args, root=str(tmp_path))
+        assert "artifacts/calib_e4s4_rm2" in args.ckpt
+        assert "artifacts/ns_chz6_rm2" in args.student_ckpt
+        assert "artifacts/bdcn" in args.bdcn_ckpt
+
+    def test_fast_input_flagship_promotion_requires_passing_gate(
+            self, tmp_path):
+        """--input-downscale 0 (the default) promotes the flagship to the
+        in/2 operating point ONLY when a gate-passing calibrated artifact
+        for that exact shape is on disk (VERDICT r2 #4)."""
+        import json
+
+        import bench
+
+        self._layout(tmp_path, accepted=True)
+        args = self._args(input_downscale=0)
+        bench._autodiscover_checkpoints(args, root=str(tmp_path))
+        assert args.input_downscale == 1  # no in/2 artifact -> full-res
+        assert args.ckpt.endswith("calib_e4s4_rm2/checkpoints")
+
+        in2 = tmp_path / "logs/distill/calib_e4s4_in2_rm2"
+        (in2 / "checkpoints").mkdir(parents=True)
+        (in2 / "gate.json").write_text(json.dumps({"accepted": False}))
+        args = self._args(input_downscale=0)
+        bench._autodiscover_checkpoints(args, root=str(tmp_path))
+        assert args.input_downscale == 1  # failed gate -> no promotion
+
+        (in2 / "gate.json").write_text(json.dumps({"accepted": True}))
+        args = self._args(input_downscale=0)
+        bench._autodiscover_checkpoints(args, root=str(tmp_path))
+        assert args.input_downscale == 2
+        assert args.ckpt.endswith("calib_e4s4_in2_rm2/checkpoints")
+
+        # an explicit --input-downscale 1 is never promoted
+        args = self._args(input_downscale=1)
+        bench._autodiscover_checkpoints(args, root=str(tmp_path))
+        assert args.input_downscale == 1
+        assert args.ckpt.endswith("calib_e4s4_rm2/checkpoints")
