@@ -30,10 +30,11 @@ import numpy as np
 
 def decode_gray_frames(video_path: str, n_frames: int,
                        skip_frames: int = 0) -> np.ndarray:
-    """Decode up to ``n_frames`` grayscale frames, skipping the first
-    ``skip_frames`` — the skip lets training crops use a DISJOINT frame
-    range from the frames an agreement metric evaluates on. Returns
-    ``[n, H, W] uint8`` (empty when the clip cannot be read)."""
+    """Decode up to ``n_frames`` grayscale frames (``n_frames <= 0`` = the
+    whole clip), skipping the first ``skip_frames`` — the skip lets training
+    crops use a DISJOINT frame range from the frames an agreement metric
+    evaluates on. Returns ``[n, H, W] uint8`` (empty when the clip cannot
+    be read)."""
     import os
 
     if not os.path.exists(video_path):
@@ -44,7 +45,7 @@ def decode_gray_frames(video_path: str, n_frames: int,
         cap = cv2.VideoCapture(video_path)
         frames = []
         seen = 0
-        while len(frames) < n_frames:
+        while n_frames <= 0 or len(frames) < n_frames:
             ok, fr = cap.read()
             if not ok:
                 break

@@ -203,75 +203,119 @@ def evaluate_fidelity(fidelity_step, state, teacher_vars, pipeline,
     return out
 
 
-def real_frame_agreement(student, teacher, state, teacher_vars,
-                         video_path: str, edge_fn=None, edge_thres=False,
-                         n_frames: int = 64, batch: int = 16,
-                         eye_size=(240, 320), teacher_edge_fn=None):
-    """No-ground-truth teacher<->student agreement on REAL video frames.
+def real_frame_eye_scores(model_a, vars_a, model_b, vars_b, frames,
+                          edge_fn_a=None, edge_fn_b=None, edge_thres=False,
+                          batch: int = 16, eye_size=(240, 320)):
+    """Per-EYE no-GT agreement scores between two models on real frames.
 
-    The synthetic gate says nothing about the real-frame distribution; this
-    pass needs no labels: it decodes up to ``n_frames`` dual-eye frames from
-    ``video_path`` (the reference's shipped demo ``videos/example1.avi`` —
-    its serving config hardcodes that clip, evaluate.py:357-358), splits the
-    eyes at x=W/2 (evaluate.py:242-243), preprocesses exactly like the
-    serving path, and reports the student's argmax-seg agreement with the
-    teacher plus the seg-derived pupil-center delta in pixels.
+    ``frames``: host ``[N, H, W] uint8`` gray frames; dual-eye-wide frames
+    are split at x=W/2 (reference evaluate.py:242-243) and preprocessed
+    exactly like the serving path. Each model consumes its OWN edge input
+    (``edge_fn_a`` = e.g. a student's fast-edge path; ``edge_fn_b`` defaults
+    to ``edge_fn_a`` — pass the teacher's full-fidelity path to score a
+    fast-edge student against a full-fidelity teacher).
 
-    Returns {"real_agreement_miou", "real_pup_c_delta_px", "real_frames"}
-    or None when the video cannot be read.
+    Returns numpy ``(agree_miou[M], center_delta_px[M])`` per eye (M = N or
+    2N; batch-padding eyes are removed), where ``agree_miou`` treats model_b
+    as the truth side of the sklearn-parity IoU (NaN-averaged over classes
+    present in model_b's argmax) and ``center_delta_px`` is the seg-derived
+    pupil-center distance in pixels.
     """
-    from ..data.realframes import decode_gray_frames
     from ..inference.preprocess import preprocess_frames, split_dual_eye
+    from ..metrics.iou import nan_mean
     from ..ops import seg_centers
     from ..geometry.points import unnorm_pts
 
-    frames = decode_gray_frames(video_path, n_frames)
-    if frames.size == 0:
-        return None
-
     h, w = eye_size
+    same_edge = edge_fn_b is None
 
     @jax.jit
-    def agree_step(params, batch_stats, teacher_vars, raw):
+    def score_step(vars_a, vars_b, raw):
         if raw.shape[2] >= 2 * w:
             left, right = split_dual_eye(raw)
             eyes = jnp.concatenate([left, right], axis=0)
         else:
             eyes = raw
         img, _ = preprocess_frames(eyes, eye_size)
-        edge = (jnp.zeros_like(img) if edge_fn is None else edge_fn(img))
-        edge = _apply_edge_threshold(edge, edge_thres)
-        if teacher_edge_fn is None:
-            t_edge = edge
-        else:
-            t_edge = _apply_edge_threshold(teacher_edge_fn(img), edge_thres)
-        op_s, _, _ = student.apply(
-            {"params": params, "batch_stats": batch_stats}, img, edge,
-            train=False)
-        op_t, _, _ = teacher.apply(teacher_vars, img, t_edge, train=False)
-        a_t = jnp.argmax(op_t, axis=-1)
-        a_s = jnp.argmax(op_s, axis=-1)
-        agree, _, _ = seg_iou_metrics(
-            a_t, a_s, jnp.zeros((a_t.shape[0],), jnp.float32))
-        c_t = unnorm_pts(seg_centers(op_t)[:, 1], (h, w), jnp)
-        c_s = unnorm_pts(seg_centers(op_s)[:, 1], (h, w), jnp)
-        delta = jnp.mean(jnp.sqrt(jnp.sum((c_t - c_s) ** 2, axis=-1)))
+        e_a = (jnp.zeros_like(img) if edge_fn_a is None else edge_fn_a(img))
+        e_a = _apply_edge_threshold(e_a, edge_thres)
+        e_b = (e_a if same_edge
+               else _apply_edge_threshold(edge_fn_b(img), edge_thres))
+        op_a, _, _ = model_a.apply(vars_a, img, e_a, train=False)
+        op_b, _, _ = model_b.apply(vars_b, img, e_b, train=False)
+        a_a = jnp.argmax(op_a, axis=-1)
+        a_b = jnp.argmax(op_b, axis=-1)
+        _, _, iou = seg_iou_metrics(
+            a_b, a_a, jnp.zeros((a_b.shape[0],), jnp.float32))
+        agree = nan_mean(jnp.nan_to_num(iou), ~jnp.isnan(iou), axis=1)
+        c_a = unnorm_pts(seg_centers(op_a)[:, 1], (h, w), jnp)
+        c_b = unnorm_pts(seg_centers(op_b)[:, 1], (h, w), jnp)
+        delta = jnp.sqrt(jnp.sum((c_a - c_b) ** 2, axis=-1))
         return agree, delta
 
+    per = 2 if frames.shape[2] >= 2 * w else 1
     agrees, deltas = [], []
     for i in range(0, frames.shape[0], batch):
         chunk = frames[i: i + batch]
-        if chunk.shape[0] < batch:  # keep one compiled shape
-            pad = np.repeat(chunk[-1:], batch - chunk.shape[0], axis=0)
+        f = chunk.shape[0]
+        if f < batch:  # keep one compiled shape
+            pad = np.repeat(chunk[-1:], batch - f, axis=0)
             chunk = np.concatenate([chunk, pad], axis=0)
-        a, d = agree_step(state.params, state.batch_stats, teacher_vars,
-                          jnp.asarray(chunk, jnp.float32))
-        agrees.append(float(a))
-        deltas.append(float(d))
+        a, d = score_step(vars_a, vars_b, jnp.asarray(chunk, jnp.float32))
+        a, d = np.asarray(a), np.asarray(d)
+        for e in range(per):  # drop padding eyes: [L pad..][R pad..] layout
+            agrees.append(a[e * batch: e * batch + f])
+            deltas.append(d[e * batch: e * batch + f])
+    return np.concatenate(agrees), np.concatenate(deltas)
+
+
+def real_frame_agreement(student, teacher, state, teacher_vars,
+                         video_path: str, edge_fn=None, edge_thres=False,
+                         n_frames: int = 64, batch: int = 16,
+                         eye_size=(240, 320), teacher_edge_fn=None,
+                         exclude=None):
+    """No-ground-truth teacher<->student agreement on REAL video frames.
+
+    The synthetic gate says nothing about the real-frame distribution; this
+    pass needs no labels: it decodes up to ``n_frames`` dual-eye frames
+    (``n_frames <= 0`` = the whole clip) from ``video_path`` (the
+    reference's shipped demo ``videos/example1.avi`` — its serving config
+    hardcodes that clip, evaluate.py:357-358), optionally drops the
+    ``exclude=(start, stop)`` frame range (the frames a --real_mix run
+    trained on, keeping the score out-of-sample), and reports the student's
+    argmax-seg agreement with the teacher plus the seg-derived pupil-center
+    delta in pixels — the per-eye MEAN and the p10/p50/p90 distribution
+    (VERDICT r2 #6: a mean alone hides bimodal failures like blinks).
+
+    Returns {"real_agreement_miou", "real_agreement_p10/p50/p90",
+    "real_pup_c_delta_px", "real_pup_c_delta_p50/p90", "real_frames",
+    "real_eyes"} or None when the video cannot be read.
+    """
+    from ..data.realframes import decode_gray_frames
+
+    frames = decode_gray_frames(video_path, n_frames)
+    if exclude is not None and frames.size:
+        lo, hi = exclude
+        frames = np.concatenate([frames[:lo], frames[hi:]], axis=0)
+    if frames.size == 0:
+        return None
+
+    agree, delta = real_frame_eye_scores(
+        student, {"params": state.params, "batch_stats": state.batch_stats},
+        teacher, teacher_vars, frames,
+        edge_fn_a=edge_fn, edge_fn_b=teacher_edge_fn,
+        edge_thres=edge_thres, batch=batch, eye_size=eye_size)
+    q = lambda v, p: float(np.nanpercentile(v, p))
     return {
-        "real_agreement_miou": float(np.nanmean(agrees)),
-        "real_pup_c_delta_px": float(np.nanmean(deltas)),
+        "real_agreement_miou": float(np.nanmean(agree)),
+        "real_agreement_p10": q(agree, 10),
+        "real_agreement_p50": q(agree, 50),
+        "real_agreement_p90": q(agree, 90),
+        "real_pup_c_delta_px": float(np.nanmean(delta)),
+        "real_pup_c_delta_p50": q(delta, 50),
+        "real_pup_c_delta_p90": q(delta, 90),
         "real_frames": int(frames.shape[0]),
+        "real_eyes": int(agree.shape[0]),
     }
 
 

@@ -287,3 +287,65 @@ class TestServingShapeDistill:
                                 trainer.teacher_vars, pipe, max_batches=1)
         assert np.isfinite(fid["miou_drop"])
         assert 0.0 <= fid["agreement_miou"] <= 1.0
+
+
+def test_real_protocol_cli(distill_setup, tmp_path):
+    """cli/real_protocol.py (VERDICT r2 #6): re-score a trained artifact on
+    the WHOLE clip post hoc, exclude the args.json-recorded training frame
+    range (out-of-sample), report the per-frame p10/p50/p90 distribution,
+    and support an A/B block (a student against itself must agree 1.0)."""
+    import json
+    import os
+
+    import cv2
+    import orbax.checkpoint as ocp
+
+    from cli.real_protocol import main as rp_main
+
+    trainer, pipe = distill_setup
+    batch = next(iter(pipe))
+    state = trainer.init_state(batch)
+
+    rng = np.random.RandomState(1)
+    vid = str(tmp_path / "clip.mp4")
+    vw = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                         (SIZE[1], SIZE[0]))
+    for _ in range(8):
+        vw.write(np.stack([rng.randint(0, 255, SIZE, np.uint8)] * 3, 2))
+    vw.release()
+
+    ckptr = ocp.PyTreeCheckpointer()
+    t_dir = tmp_path / "teacher" / "checkpoints"
+    ckptr.save(str(t_dir / "best"),
+               {"params": trainer.teacher_vars["params"],
+                "batch_stats": trainer.teacher_vars.get("batch_stats", {})})
+    s_dir = tmp_path / "student"
+    ckptr.save(str(s_dir / "checkpoints" / "best"),
+               {"params": state.params, "batch_stats": state.batch_stats})
+    (s_dir / "args.json").write_text(json.dumps({"args": {
+        "setting": "baseline_input_concat", "chz": 8, "growth": 1.2,
+        "seg_downscale": 1, "input_downscale": 1, "edge_downscale": 1,
+        "edge_thres": 0, "image_height": SIZE[0], "image_width": SIZE[1],
+        "teacher_setting": "baseline", "teacher_chz": 8,
+        "teacher_growth": 1.2, "real_mix": 2, "real_frames": 2,
+        "bdcn_weights": ""}}))
+
+    rec = rp_main(["--ckpt", str(s_dir), "--teacher_ckpt", str(t_dir),
+                   "--video", vid, "--batch", "4"])
+    assert rec["clip_frames"] == 8
+    # real_mix=2 single-eye crops starting at frame 2 -> frames [2, 4) seen
+    assert rec["excluded_train_frames"] == [2, 4]
+    assert rec["eval_frames"] == 6 and rec["eval_eyes"] == 6
+    vt = rec["vs_teacher"]
+    assert (0.0 <= vt["agreement_p10"] <= vt["agreement_p50"]
+            <= vt["agreement_p90"] <= 1.0)
+    assert np.isfinite(vt["pup_c_delta_p90"])
+    assert os.path.isfile(s_dir / "real_protocol.json")
+
+    rec2 = rp_main(["--ckpt", str(s_dir), "--ckpt_b", str(s_dir),
+                    "--teacher_ckpt", str(t_dir), "--video", vid,
+                    "--batch", "4"])
+    assert rec2["a_vs_b"]["agreement_miou"] == pytest.approx(1.0)
+    assert rec2["a_vs_b"]["pup_c_delta_px"] == pytest.approx(0.0, abs=1e-4)
+    assert rec2["b_vs_teacher"]["agreement_miou"] == pytest.approx(
+        rec2["vs_teacher"]["agreement_miou"], abs=1e-6)
