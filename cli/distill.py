@@ -70,6 +70,14 @@ def parse_args(argv=None):
                         "calibration: same chz/setting, only the serving "
                         "downscales differ — seg_downscale is checkpoint-"
                         "compatible, models/esfnet.py)")
+    p.add_argument("--init_ckpt", type=str, default="",
+                   help="partial bootstrap: copy every params/batch_stats "
+                        "leaf whose tree path AND shape match from this "
+                        "student checkpoint dir; mismatched leaves (e.g. "
+                        "the regression-head flatten at input_downscale>1) "
+                        "keep their fresh init. Lets a fast-input student "
+                        "start from an already-gated full-resolution "
+                        "student instead of from scratch")
     # run
     p.add_argument("--resume", type=int, default=0,
                    help="restore the latest student checkpoint for this "
@@ -174,7 +182,11 @@ def main(argv=None):
     if args.input_downscale > 1 and args.init_from_teacher:
         raise SystemExit("--init_from_teacher cannot bootstrap an "
                          "input_downscale student: the regression head's "
-                         "flatten width differs from the teacher's")
+                         "flatten width differs from the teacher's "
+                         "(use --init_ckpt for a partial bootstrap)")
+    if args.init_ckpt and args.init_from_teacher:
+        raise SystemExit("--init_ckpt and --init_from_teacher are mutually "
+                         "exclusive bootstraps")
     teacher_vars = load_teacher_vars(args.teacher_ckpt, teacher, t_variant,
                                      cfg.image_size)
 
@@ -264,6 +276,17 @@ def main(argv=None):
                                               state.batch_stats)))
         state = jax.device_put(state, replicated_sharding(trainer.mesh))
         print("student bootstrapped from teacher weights")
+    if args.init_ckpt and not args.resume:
+        import jax
+
+        from eghmd_tpu.parallel import replicated_sharding
+        from eghmd_tpu.training.checkpoints import partial_bootstrap_state
+
+        state = trainer.init_state(next(iter(valid_pipe)))
+        state, copied, total = partial_bootstrap_state(state, args.init_ckpt)
+        state = jax.device_put(state, replicated_sharding(trainer.mesh))
+        print(f"student partially bootstrapped from {args.init_ckpt}: "
+              f"{copied}/{total} leaves copied")
     if args.resume and ckpt.latest_epoch() is not None:
         import jax
 

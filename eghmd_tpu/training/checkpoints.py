@@ -193,6 +193,25 @@ def bootstrap_state(state, loadfile: str, setting=None):
     return state._replace(params=params, batch_stats=bs)
 
 
+def partial_bootstrap_state(state, ckpt_dir: str):
+    """Bootstrap ``state`` from a nearly-architecture-identical checkpoint:
+    every params/batch_stats leaf whose tree path AND shape match is copied;
+    mismatched leaves keep their fresh init. Optimizer state stays fresh.
+
+    The fast-input (``input_downscale``) students need this: their
+    regression-head flatten width differs from the full-resolution model
+    (reference utils.py:1007 hardcodes the bottleneck geometry), so a strict
+    teacher-init cannot apply — but every conv/BN leaf transfers.
+    Returns (state, n_copied, n_total) over params+batch_stats leaves.
+    """
+    src = load_checkpoint_variables(ckpt_dir)
+    params, cp, tp = partial_weight_loading(src["params"], state.params)
+    stats, cb, tb = partial_weight_loading(src.get("batch_stats", {}),
+                                           state.batch_stats)
+    return (state._replace(params=params, batch_stats=stats),
+            cp + cb, tp + tb)
+
+
 def partial_weight_loading(src_params, dst_params):
     """Copy every leaf whose tree path AND shape match from ``src_params``
     into ``dst_params``; leaves that don't match keep the destination's

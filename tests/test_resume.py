@@ -62,6 +62,54 @@ def test_bootstrap_from_checkpoint(tmp_path):
     assert len(hist) == 1 and np.isfinite(hist[0]["train"]["loss"])
 
 
+@pytest.mark.slow  # compiles two model inits + an orbax round-trip
+def test_partial_bootstrap_state_fast_input(tmp_path):
+    """--init_ckpt semantics (cli/distill.py): an input_downscale student
+    bootstraps from a full-resolution student's checkpoint — every conv/BN
+    leaf transfers, only the regression-head flatten (whose width depends
+    on the bottleneck geometry, reference utils.py:1007) stays fresh."""
+    import jax.numpy as jnp
+
+    from eghmd_tpu.config import ExperimentConfig, VARIANT_PRESETS
+    from eghmd_tpu.models import build_model
+    from eghmd_tpu.training.checkpoints import (CheckpointManager,
+                                                partial_bootstrap_state)
+    from eghmd_tpu.training.trainer import Trainer
+
+    # 240x320: the fast-input (in/2) regression head needs the serving
+    # geometry (at 176x192 in/2 the post-c1 map drops below 5x5)
+    H, W = 240, 320
+    cfg = ExperimentConfig(setting="baseline", epochs=1, batchsize=2,
+                           image_size=(H, W))
+    batch = {
+        "image": jnp.zeros((2, H, W, 1)),
+        "edge": jnp.zeros((2, H, W, 1)),
+        "target": jnp.zeros((2, H, W), jnp.int32),
+        "spat_weights": jnp.ones((2, H, W)),
+        "dist_map": jnp.zeros((2, H, W, 3)),
+        "pupil_center": jnp.zeros((2, 2)),
+        "el_norm": jnp.zeros((2, 2, 5)),
+        "cond": jnp.zeros((2, 4)),
+    }
+    variant = VARIANT_PRESETS["baseline"]
+    full = Trainer(cfg, build_model("ritnet_v2", variant))
+    src_state = full.init_state(batch)
+    ck = CheckpointManager(str(tmp_path / "ck"))
+    ck.save(0, src_state, is_best=True)
+
+    fast = Trainer(cfg, build_model("ritnet_v2", variant, input_downscale=2))
+    dst_state = fast.init_state(batch)
+    boot, copied, total = partial_bootstrap_state(dst_state, str(tmp_path / "ck"))
+    assert copied < total  # the flatten-width leaves can't transfer
+    assert copied >= total - 2  # ...but everything else does (l1 kernel)
+    np.testing.assert_array_equal(
+        np.asarray(boot.params["enc"]["head"]["conv1"]["kernel"]),
+        np.asarray(src_state.params["enc"]["head"]["conv1"]["kernel"]))
+    np.testing.assert_array_equal(
+        np.asarray(boot.params["elReg"]["l1"]["kernel"]),
+        np.asarray(dst_state.params["elReg"]["l1"]["kernel"]))
+
+
 @pytest.mark.slow  # compiles two model inits on the 1-CPU mesh
 def test_partial_weight_loading_across_variants():
     """Reference pytorchtools.py:85-101 semantics: matching-path+shape
