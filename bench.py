@@ -263,6 +263,8 @@ _CANONICAL_CKPTS = {
         "artifacts/calib_e4s4_rm2/checkpoints",
         "logs/distill/calib_e4s4_rm2/checkpoints"),
     ("baseline_edge", 32, 4, 4, 2): (
+        "artifacts/calib_e4s4_in2_boot/checkpoints",
+        "logs/distill/calib_e4s4_in2_boot/checkpoints",
         "artifacts/calib_e4s4_in2_rm2/checkpoints",
         "logs/distill/calib_e4s4_in2_rm2/checkpoints"),
     ("baseline_edge", 32, 4, 2, 1): (
@@ -317,6 +319,20 @@ def _first_existing(candidates, here):
     return "", ""
 
 
+def _first_gated(candidates, here):
+    """First (abs_path, rel) among ``candidates`` that exists AND carries a
+    passing gate.json — a failed artifact earlier in the list (e.g. the
+    from-scratch in/2 attempt next to the partial-bootstrap retry) must not
+    shadow a gated one behind it."""
+    import os
+
+    for rel in candidates:
+        path = os.path.join(here, rel)
+        if os.path.isdir(path) and _gate_passed(path):
+            return path, rel
+    return "", ""
+
+
 def _autodiscover_checkpoints(args, root=None):
     import os
 
@@ -328,8 +344,8 @@ def _autodiscover_checkpoints(args, root=None):
         args.input_downscale = 1
         key = (args.setting, args.chz, args.edge_downscale,
                args.seg_downscale, 2)
-        path, rel = _first_existing(_CANONICAL_CKPTS.get(key, ()), here)
-        if path and _gate_passed(path):
+        path, rel = _first_gated(_CANONICAL_CKPTS.get(key, ()), here)
+        if path:
             args.input_downscale = 2
             print(f"flagship promoted to fast-input in/2 (gated artifact "
                   f"{rel})", file=sys.stderr)
@@ -339,13 +355,18 @@ def _autodiscover_checkpoints(args, root=None):
              ("bdcn_ckpt", _CANONICAL_BDCN, False)]
     for attr, candidates, needs_gate in pairs:
         if candidates and not getattr(args, attr):
-            path, rel = _first_existing(candidates, here)
-            if not path:
-                continue
-            if needs_gate and not _gate_passed(path):
-                print(f"found {rel} but no passing gate.json; "
-                      f"not serving it", file=sys.stderr)
-                continue
+            if needs_gate:
+                path, rel = _first_gated(candidates, here)
+                if not path:
+                    found, found_rel = _first_existing(candidates, here)
+                    if found:
+                        print(f"found {found_rel} but no passing gate.json; "
+                              f"not serving it", file=sys.stderr)
+                    continue
+            else:
+                path, rel = _first_existing(candidates, here)
+                if not path:
+                    continue
             setattr(args, attr, path)
             print(f"auto-discovered --{attr} {rel}", file=sys.stderr)
     # fastest gated student rung wins (e.g. the fast-input in/2 student
@@ -353,8 +374,8 @@ def _autodiscover_checkpoints(args, root=None):
     args.student_cfg = dict(_DEFAULT_STUDENT_CFG)
     if not args.student_ckpt:
         for cfg, candidates in _STUDENT_RUNGS:
-            path, rel = _first_existing(candidates, here)
-            if path and _gate_passed(path):
+            path, rel = _first_gated(candidates, here)
+            if path:
                 args.student_ckpt = path
                 args.student_cfg = dict(cfg)
                 print(f"auto-discovered --student_ckpt {rel} "

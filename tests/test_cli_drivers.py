@@ -353,3 +353,26 @@ class TestBenchCheckpointAutodiscovery:
         bench._autodiscover_checkpoints(args, root=str(tmp_path))
         assert args.input_downscale == 1
         assert args.ckpt.endswith("calib_e4s4_rm2/checkpoints")
+
+    def test_failed_artifact_does_not_shadow_gated_retry(self, tmp_path):
+        """Candidates are scanned past a gate-FAILING artifact: the
+        from-scratch in/2 attempt (accepted: false, kept as committed
+        negative evidence) must not shadow the gated partial-bootstrap
+        retry listed ahead of it, nor block promotion when only the
+        retry passed."""
+        import json
+
+        import bench
+
+        self._layout(tmp_path, accepted=True)
+        scratch = tmp_path / "logs/distill/calib_e4s4_in2_rm2"
+        (scratch / "checkpoints").mkdir(parents=True)
+        (scratch / "gate.json").write_text(json.dumps({"accepted": False}))
+        boot = tmp_path / "logs/distill/calib_e4s4_in2_boot"
+        (boot / "checkpoints").mkdir(parents=True)
+        (boot / "gate.json").write_text(json.dumps({"accepted": True}))
+
+        args = self._args(input_downscale=0)
+        bench._autodiscover_checkpoints(args, root=str(tmp_path))
+        assert args.input_downscale == 2
+        assert args.ckpt.endswith("calib_e4s4_in2_boot/checkpoints")
