@@ -7,8 +7,17 @@ import os
 import sys
 
 
-def best_epoch(history):
-    return max(history, key=lambda e: e["stop_metric"])
+def best_epoch(history, delta=1e-3):
+    """The epoch whose checkpoint `best` actually holds: replicate the
+    trainer's EarlyStopping acceptance (schedule.py: new best only when
+    metric > best + delta), NOT argmax(stop_metric) — a later epoch can
+    beat the running best by < delta and be rejected (its test split is
+    then never evaluated and its weights never saved)."""
+    best, accepted = None, None
+    for e in history:
+        if best is None or e["stop_metric"] >= best + delta:
+            best, accepted = e["stop_metric"], e
+    return accepted
 
 
 def main(log_dir="logs", runs=("control_r2", "teacher_r2",
