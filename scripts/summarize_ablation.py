@@ -22,7 +22,7 @@ def best_epoch(history, delta=1e-3):
 
 def main(log_dir="logs", runs=("control_r2", "teacher_r2",
                                "ctrl_hard", "edge_hard_bdcn",
-                               "edge_hard_gt")):
+                               "edge_hard_bdcn2", "edge_hard_gt")):
     rows = []
     for run in runs:
         path = os.path.join(log_dir, "ritnet_v2", run, "history.json")
