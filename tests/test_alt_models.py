@@ -46,7 +46,7 @@ class TestRITnetV1:
         x = jnp.ones((2, 176, 192, 1)) * 0.1
         variables = jax.jit(lambda r: model.init(r, x, x, train=False))(
             jax.random.PRNGKey(0))
-        op, el_out, latent = model.apply(variables, x, x, train=False)
+        op, el_out, latent = jax.jit(lambda v: model.apply(v, x, x, train=False))(variables)
         assert op.shape == (2, 176, 192, 3)
         assert el_out.shape == (2, 10)
         assert np.all(np.isfinite(np.asarray(op)))
@@ -71,7 +71,7 @@ class TestDeepVOG:
         x = jnp.ones((2, 176, 192, 1)) * 0.1
         variables = jax.jit(lambda r: model.init(r, x, x, train=False))(
             jax.random.PRNGKey(0))
-        op, el_out, latent = model.apply(variables, x, x, train=False)
+        op, el_out, latent = jax.jit(lambda v: model.apply(v, x, x, train=False))(variables)
         assert op.shape[-1] in (2, 3)
         target = jnp.zeros((2, 176, 192), jnp.int32)
         pc = jnp.full((2, 2), 88.0)
@@ -101,7 +101,7 @@ class TestRITnetConcat:
         e = jnp.ones((2, 176, 192, 1)) * 0.5
         variables = jax.jit(lambda r: model.init(r, x, e, train=False))(
             jax.random.PRNGKey(0))
-        op, el_out, latent = model.apply(variables, x, e, train=False)
+        op, el_out, latent = jax.jit(lambda v: model.apply(v, x, e, train=False))(variables)
         assert op.shape == (2, 176, 192, 3)
         assert el_out.shape == (2, 10)
 
@@ -139,7 +139,7 @@ class TestNumericParity:
 
         variables = jax.tree.map(jnp.asarray, ritnet_v1_torch_to_flax(tm.state_dict()))
         x = jnp.asarray(np.transpose(img, (0, 2, 3, 1)))
-        op_f, el_f, lat_f = RITnetV1().apply(variables, x, x, train=False)
+        op_f, el_f, lat_f = jax.jit(lambda v: RITnetV1().apply(v, x, x, train=False))(variables)
         _close(np.asarray(op_f), NHWC(op.numpy()))
         _close(np.asarray(el_f), el_out.numpy())
 
@@ -163,7 +163,7 @@ class TestNumericParity:
 
         variables = jax.tree.map(jnp.asarray, deepvog_torch_to_flax(tm.state_dict()))
         x = jnp.asarray(np.transpose(img, (0, 2, 3, 1)))
-        op_f, _, _ = DeepVOG().apply(variables, x, x, train=False)
+        op_f, _, _ = jax.jit(lambda v: DeepVOG().apply(v, x, x, train=False))(variables)
         _close(np.asarray(op_f), NHWC(out.numpy()))
 
     def test_ritnet_concat_forward_parity(self):
@@ -193,7 +193,7 @@ class TestNumericParity:
                                  ritnet_concat_torch_to_flax(tm.state_dict()))
         x = jnp.asarray(np.transpose(img, (0, 2, 3, 1)))
         e = jnp.asarray(np.transpose(edge, (0, 2, 3, 1)))
-        op_f, el_f, lat_f = RITnetConcat().apply(variables, x, e, train=False)
+        op_f, el_f, lat_f = jax.jit(lambda v: RITnetConcat().apply(v, x, e, train=False))(variables)
         _close(np.asarray(op_f), NHWC(op.numpy()))
         _close(np.asarray(el_f), el_out.numpy())
         _close(np.asarray(lat_f), latent.numpy())

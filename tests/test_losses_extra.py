@@ -150,7 +150,7 @@ class TestRITnetNoReg:
         rng = jax.random.PRNGKey(0)
         x = jnp.zeros((1, 176, 192, 1))
         variables = jax.jit(lambda r, a, b: model.init(r, a, b, train=False))(rng, x, x)
-        op, el_out, latent = model.apply(variables, x, x, train=False)
+        op, el_out, latent = jax.jit(lambda v: model.apply(v, x, x, train=False))(variables)
         assert op.shape == (1, 176, 192, 3)
         assert el_out.shape == (1, 10)
         assert latent.shape == (1, 153)

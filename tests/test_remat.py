@@ -28,8 +28,10 @@ def test_remat_outputs_and_grads_match():
     variables = jax.jit(
         lambda r, a, b: plain.init(r, a, b, train=False))(rng, img, edge)
     # same params drive both models: the tree is unchanged
-    out_p = plain.apply(variables, img, edge, train=False)
-    out_r = remat.apply(variables, img, edge, train=False)
+    # (jit everything: eager per-primitive dispatch on this 1-core box is
+    # ~10x slower than the cached executables)
+    out_p = jax.jit(lambda v: plain.apply(v, img, edge, train=False))(variables)
+    out_r = jax.jit(lambda v: remat.apply(v, img, edge, train=False))(variables)
     for a, b in zip(out_p, out_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
@@ -39,8 +41,8 @@ def test_remat_outputs_and_grads_match():
             img, edge, train=True, mutable=["batch_stats"])
         return jnp.sum(op ** 2) * 1e-3 + jnp.sum(el ** 2)
 
-    g_p = jax.grad(lambda p: loss(plain, p))(variables["params"])
-    g_r = jax.grad(lambda p: loss(remat, p))(variables["params"])
+    g_p = jax.jit(jax.grad(lambda p: loss(plain, p)))(variables["params"])
+    g_r = jax.jit(jax.grad(lambda p: loss(remat, p)))(variables["params"])
     flat_p = jax.tree_util.tree_leaves_with_path(g_p)
     flat_r = jax.tree.leaves(g_r)
     assert len(flat_p) == len(flat_r)
