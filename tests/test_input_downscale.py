@@ -27,12 +27,17 @@ def _forward(model, h, w, seed=0, train=False):
     img = jax.random.uniform(rng, (2, h, w, 1), jnp.float32)
     edge = jax.random.uniform(jax.random.PRNGKey(seed + 1), (2, h, w, 1),
                               jnp.float32)
-    variables = model.init(jax.random.PRNGKey(7), img, edge, train=False)
+    # jit everything: eager per-primitive dispatch on this 1-core box is
+    # ~5-10x slower than the cached executables (shape errors still raise
+    # at trace time, so the too-small guard test keeps working)
+    variables = jax.jit(
+        lambda r: model.init(r, img, edge, train=False))(jax.random.PRNGKey(7))
     if train:
-        out, _ = model.apply(variables, img, edge, train=True,
-                             mutable=["batch_stats"])
+        out, _ = jax.jit(lambda v: model.apply(
+            v, img, edge, train=True, mutable=["batch_stats"]))(variables)
         return variables, out
-    return variables, model.apply(variables, img, edge, train=False)
+    return variables, jax.jit(
+        lambda v: model.apply(v, img, edge, train=False))(variables)
 
 
 class TestInputDownscale:
@@ -90,7 +95,7 @@ class TestInputDownscale:
             return jnp.mean(op.astype(jnp.float32) ** 2) + jnp.mean(
                 el.astype(jnp.float32) ** 2)
 
-        grads = jax.grad(loss_fn)(variables["params"])
+        grads = jax.jit(jax.grad(loss_fn))(variables["params"])
         norms = [float(jnp.linalg.norm(g)) for g in jax.tree.leaves(grads)]
         assert all(np.isfinite(n) for n in norms)
         # the upsample path must backpropagate into the encoder head
@@ -121,6 +126,65 @@ class TestRegressionHeadPoolGuard:
         model = ESFNet(setting=variant)
         v, _ = _forward(model, 240, 320)
         assert v["params"]["elReg"]["l1"]["kernel"].shape[0] == 480
+
+
+class TestPartialBootstrap:
+    """cli/distill.py --init_ckpt: the mechanism that earned the gated
+    fast-input flagship (artifacts/calib_e4s4_in2_boot) — warm-start every
+    path+shape-matching leaf from a near-identical checkpoint, keep fresh
+    init for the rest (reference pytorchtools.py:85-101)."""
+
+    def test_partial_weight_loading_tree_logic(self):
+        src = {"a": {"w": jnp.ones((3, 4)), "b": jnp.ones((4,))},
+               "head": {"w": jnp.ones((8, 2))}}
+        dst = {"a": {"w": jnp.zeros((3, 4)), "b": jnp.zeros((4,))},
+               "head": {"w": jnp.zeros((16, 2))},  # shape mismatch
+               "extra": {"w": jnp.zeros((5,))}}    # path missing in src
+        from eghmd_tpu.training.checkpoints import partial_weight_loading
+
+        merged, copied, total = partial_weight_loading(src, dst)
+        assert (copied, total) == (2, 4)
+        assert float(merged["a"]["w"].sum()) == 12.0     # copied
+        assert float(merged["head"]["w"].sum()) == 0.0   # kept fresh
+        assert float(merged["extra"]["w"].sum()) == 0.0  # kept fresh
+
+    def test_in2_student_bootstraps_from_fullres_ckpt(self, tmp_path):
+        """Every leaf except the regression head's flatten-facing Dense
+        transfers from a full-res checkpoint into the in/2 student."""
+        import orbax.checkpoint as ocp
+
+        from eghmd_tpu.training.checkpoints import partial_bootstrap_state
+
+        variant = scaled_variant(VARIANT_PRESETS["baseline"], 6, 1.0)
+        full = ESFNet(setting=variant, chz=6, growth=1.0)
+        v_full, _ = _forward(full, 240, 320)
+        ocp.PyTreeCheckpointer().save(
+            str(tmp_path / "best"),
+            {"params": v_full["params"],
+             "batch_stats": v_full["batch_stats"]})
+
+        in2 = ESFNet(setting=variant, chz=6, growth=1.0, input_downscale=2)
+        v_in2, _ = _forward(in2, 240, 320, seed=5)
+
+        class _State:
+            params = v_in2["params"]
+            batch_stats = v_in2["batch_stats"]
+
+            def _replace(self, **kw):
+                s = _State()
+                s.params = kw.get("params", self.params)
+                s.batch_stats = kw.get("batch_stats", self.batch_stats)
+                return s
+
+        state, copied, total = partial_bootstrap_state(_State(), str(tmp_path))
+        assert total - copied == 1  # only elReg/l1/kernel differs in shape
+        got = state.params["enc"]["head"]["conv1"]["kernel"]
+        np.testing.assert_array_equal(
+            np.asarray(got),
+            np.asarray(v_full["params"]["enc"]["head"]["conv1"]["kernel"]))
+        # the mismatched head keeps its fresh in/2-shaped init
+        assert (state.params["elReg"]["l1"]["kernel"].shape
+                == v_in2["params"]["elReg"]["l1"]["kernel"].shape)
 
 
 class TestServingStepInputDownscale:
