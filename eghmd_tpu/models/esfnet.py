@@ -107,11 +107,29 @@ class DenseDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, skip4, skip3, skip2, skip1, x, train: bool = False):
+        if self.seg_downscale not in (1, 2, 4, 8):
+            raise ValueError(
+                f"seg_downscale must be one of 1/2/4/8, got {self.seg_downscale}"
+            )
         sizes = get_sizes(self.chz, self.growth)
         op = [180, 100, 62, 32] if self.add_edge else sizes["dec"]["op"]
         x = DenseUpBlock(op[0], dtype=self.dtype, name="up_block4")(skip4, x)
+        if self.seg_downscale == 8:
+            # all three final stages at /8: the deepest skip the decoder
+            # still consumes at native resolution is skip4 (/8)
+            skip3 = nn.avg_pool(skip3, (2, 2), strides=(2, 2))
+            skip2 = nn.avg_pool(skip2, (4, 4), strides=(4, 4))
+            skip1 = nn.avg_pool(skip1, (8, 8), strides=(8, 8))
+            x = DenseUpBlock(op[1], dtype=self.dtype, do_upsample=False,
+                             name="up_block3")(skip3, x)
+            x = DenseUpBlock(op[2], dtype=self.dtype, do_upsample=False,
+                             name="up_block2")(skip2, x)
+            x = DenseUpBlock(op[3], dtype=self.dtype, do_upsample=False,
+                             name="up_block1")(skip1, x)
+            return ConvBlock(self.chz, self.out_c, dtype=self.dtype,
+                             name="final")(x, train)
         x = DenseUpBlock(op[1], dtype=self.dtype, name="up_block3")(skip3, x)
-        if self.seg_downscale >= 4:
+        if self.seg_downscale == 4:
             # both final stages at reduced resolution: skips are pooled down
             # instead of the features being upsampled
             skip2 = nn.avg_pool(skip2, (2, 2), strides=(2, 2))

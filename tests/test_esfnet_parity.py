@@ -125,7 +125,14 @@ class TestFastSegMode:
     exact, seg path a gated approximation (accuracy must be re-validated on
     trained checkpoints; random-weight gates below are structural)."""
 
-    @pytest.mark.parametrize("factor", [2, 4])
+    def test_unsupported_factor_raises(self):
+        setting = VARIANT_PRESETS["baseline"]
+        model = ESFNet(setting=setting, seg_downscale=3)
+        x = jnp.zeros((1, 176, 192, 1))
+        with pytest.raises(ValueError, match="seg_downscale"):
+            model.init(jax.random.PRNGKey(0), x, x, train=False)
+
+    @pytest.mark.parametrize("factor", [2, 4, 8])
     def test_fast_seg_exactness_and_consistency(self, factor):
         from eghmd_tpu.ops import seg_centers
 
