@@ -47,4 +47,23 @@ run "$LOG/ritnet_v2/edge_hard_gt/checkpoints/best" \
     --remat 1 --epochs 20 --synthetic_degrade "$DEG" \
     --expname edge_hard_gt --log_dir "$LOG"
 
+# Follow-up arm (the round-3 result): resume the hard BDCN until it clears
+# the same 0.35 quality bar the clean chain enforces (10 epochs left it at
+# val F1 0.234, and the edge_hard_bdcn arm showed an UNCONVERGED edge net
+# hurts), then re-run the BDCN-fed arm with the converged net. BASELINE.md:
+# the sign flips to +0.005 over the control (oracle bound: +0.013).
+for attempt in 1 2 3; do
+    if python scripts/bdcn_gate.py --run_dir "$LOG/bdcn/hard"; then break; fi
+    echo "== hard bdcn below bar; resuming +10 epochs (attempt $attempt)"
+    python cli/train_bdcn.py --synthetic 64 --epochs 10 --resume 1 \
+        --synthetic_degrade "$DEG" --expname hard --log_dir "$LOG" 2>&1 \
+        | tee -a "$LOG/edge_ablation.log"
+done
+
+run "$LOG/ritnet_v2/edge_hard_bdcn2/checkpoints/best" \
+    python cli/train.py --setting baseline_edge --synthetic 128 --batchsize 16 \
+    --remat 1 --epochs 20 --synthetic_degrade "$DEG" \
+    --bdcn_weights "$LOG/bdcn/hard/checkpoints" \
+    --expname edge_hard_bdcn2 --log_dir "$LOG"
+
 echo "== ablation complete"
