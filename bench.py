@@ -275,6 +275,14 @@ _CANONICAL_BDCN = ("artifacts/bdcn/checkpoints", "logs/bdcn/r2/checkpoints")
 # Distilled-student serving rungs, fastest first; each is served only when
 # its distill run's gate.json says accepted. cfg keys mirror run_one kwargs.
 _STUDENT_RUNGS = [
+    (dict(setting="baseline", chz=4, growth=1.0, seg_downscale=4,
+          input_downscale=1),
+     ("artifacts/b4_rm2/checkpoints",
+      "logs/distill/b4_rm2/checkpoints")),
+    (dict(setting="baseline", chz=6, growth=1.0, seg_downscale=8,
+          input_downscale=1),
+     ("artifacts/ns_s8_rm2/checkpoints",
+      "logs/distill/ns_s8_rm2/checkpoints")),
     (dict(setting="baseline", chz=6, growth=1.0, seg_downscale=4,
           input_downscale=2),
      ("artifacts/ns_chz6_in2_rm2/checkpoints",
