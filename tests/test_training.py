@@ -179,8 +179,16 @@ class TestGoldenTrajectory:
         losses = self._run(shared_trainer, mesh_pipe[1])
         np.testing.assert_allclose(losses, self.GOLDEN["baseline"], rtol=2e-4)
 
-    @pytest.mark.parametrize("setting", ["baseline_edge",
-                                         "baseline_adain_edge"])
+    # the AdaIN variant's golden is slow-marked: it shares no executable
+    # with the other two (~4 min on this 1-core box), its forward parity is
+    # fast-covered (test_losses_extra adain guard + alt-model parity) and
+    # its f64 grad parity runs per round in the slow suite
+    # (SLOW_SUITE_r*.txt). baseline + the two-pass-encoder edge variant
+    # stay as the fast suite's pinned train-step numeric guard.
+    @pytest.mark.parametrize("setting", [
+        "baseline_edge",
+        pytest.param("baseline_adain_edge", marks=pytest.mark.slow),
+    ])
     def test_edge_variant_trajectories(self, mesh_pipe, setting):
         losses = self._run(make_trainer(setting=setting), mesh_pipe[1])
         np.testing.assert_allclose(losses, self.GOLDEN[setting], rtol=2e-4)
