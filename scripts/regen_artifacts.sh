@@ -181,16 +181,29 @@ export_art ns_chz6_in2_rm2 "$LOG/distill/ns_chz6_in2_rm2"
 # ------------------------------- 5. fast-input PARITY-ARCHITECTURE rung
 # The chz32 baseline_edge flagship at edge/4 seg/4 ADDITIONALLY trained
 # through in/2 (VERDICT r2 #4): the flagship roofline is dominated by
-# full-res early feature maps; in/2 cuts them ~4x. Not teacher-initable
-# (regression-head flatten width changes), so it gets the longer student
-# schedule. If its gate passes, bench.py promotes it to the default
-# flagship measurement.
+# full-res early feature maps; in/2 cuts them ~4x. Not strictly
+# teacher-initable (regression-head flatten width changes), so it gets
+# the longer student schedule. From scratch this FAILS its gate (drop
+# 0.031 — kept as committed negative evidence).
 run "$LOG/distill/calib_e4s4_in2_rm2/checkpoints/best" \
     python cli/distill.py --teacher_ckpt "$T" --setting baseline_edge --chz 32 \
     --edge_downscale 4 --seg_downscale 4 --input_downscale 2 \
     --epochs "$(ep 30)" --real_mix 128 --bdcn_weights "$BDCN" --synthetic 128 \
     --expname calib_e4s4_in2_rm2 --log_dir "$LOG"
 export_art calib_e4s4_in2_rm2 "$LOG/distill/calib_e4s4_in2_rm2"
+
+# 5b. The fix that GATES in/2 (round 3): partial-bootstrap every
+#     path+shape-matching leaf from the gated full-res e4s4 student
+#     (--init_ckpt; only the regression head's flatten Dense stays fresh)
+#     at a gentler lr. Passing gate -> bench.py auto-promotes in/2 to the
+#     default flagship measurement (2,228 fps vs 621 at full-res input).
+run "$LOG/distill/calib_e4s4_in2_boot/checkpoints/best" \
+    python cli/distill.py --teacher_ckpt "$T" --setting baseline_edge --chz 32 \
+    --edge_downscale 4 --seg_downscale 4 --input_downscale 2 \
+    --init_ckpt "$LOG/distill/calib_e4s4_rm2/checkpoints" --lr 3e-4 \
+    --epochs "$(ep 30)" --real_mix 128 --bdcn_weights "$BDCN" --synthetic 128 \
+    --expname calib_e4s4_in2_boot --log_dir "$LOG"
+export_art calib_e4s4_in2_boot "$LOG/distill/calib_e4s4_in2_boot"
 
 # ---------------------------------------------- 6. remaining ladder rungs
 # The former headline shape (edge/4 seg/2; bench serves it under
@@ -219,5 +232,28 @@ run "$LOG/distill/b8_rm2/checkpoints/best" \
     --seg_downscale 4 --epochs "$(ep 30)" --real_mix 128 --bdcn_weights "$BDCN" \
     --synthetic 128 --expname b8_rm2 --log_dir "$LOG"
 export_art b8_rm2 "$LOG/distill/b8_rm2"
+
+# Ceiling probes past the 5,021 fps north star (gated either way):
+run "$LOG/distill/b4_rm2/checkpoints/best" \
+    python cli/distill.py --teacher_ckpt "$T" --setting baseline --chz 4 \
+    --growth 1.0 --seg_downscale 4 --epochs "$(ep 30)" --real_mix 128 \
+    --bdcn_weights "$BDCN" --synthetic 128 --expname b4_rm2 --log_dir "$LOG"
+export_art b4_rm2 "$LOG/distill/b4_rm2"
+
+run "$LOG/distill/ns_s8_rm2/checkpoints/best" \
+    python cli/distill.py --teacher_ckpt "$T" --setting baseline --chz 6 \
+    --growth 1.0 --seg_downscale 8 --epochs "$(ep 30)" --real_mix 128 \
+    --bdcn_weights "$BDCN" --synthetic 128 --expname ns_s8_rm2 --log_dir "$LOG"
+export_art ns_s8_rm2 "$LOG/distill/ns_s8_rm2"
+
+# ---------------------------------------- 7. whole-clip real protocol
+# Re-score the key artifacts on all demo-clip frames out-of-sample
+# (VERDICT r2 #6); writes real_protocol.json beside each gate.json.
+for rung in calib_e4s4_rm2 ns_chz6_rm2 b8_rm2; do
+    if [ ! -f "$ART/$rung/real_protocol.json" ]; then
+        python cli/real_protocol.py --ckpt "$ART/$rung" 2>&1 \
+            | tee -a "$LOG/regen.log" | grep -E '^\{' >> "$GATES" || true
+    fi
+done
 
 echo "== regen complete; gate lines in $GATES; artifacts in $ART/"
