@@ -86,6 +86,13 @@ def parse_args(argv=None):
                    help="skip training: restore this expname's BEST "
                         "checkpoint and print its fidelity gate")
     p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--remat", type=int, default=0,
+                   help="rematerialize the STUDENT's forward in backward "
+                        "(nn.remat, trainer.py semantics): trades FLOPs "
+                        "for activation memory AND shrinks the distill-"
+                        "step program the axon compile helper must hold "
+                        "(the chz4 rung's compile gets SIGKILLed without "
+                        "it — BASELINE.md)")
     p.add_argument("--prec", type=int, default=32)
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--batchsize", type=int, default=8)
@@ -178,7 +185,8 @@ def main(argv=None):
     student = build_model("ritnet_v2", s_variant, cfg.dtype,
                           chz=args.chz, growth=args.growth,
                           seg_downscale=args.seg_downscale,
-                          input_downscale=args.input_downscale)
+                          input_downscale=args.input_downscale,
+                          remat=bool(args.remat))
     if args.input_downscale > 1 and args.init_from_teacher:
         raise SystemExit("--init_from_teacher cannot bootstrap an "
                          "input_downscale student: the regression head's "
