@@ -237,7 +237,8 @@ export_art b8_rm2 "$LOG/distill/b8_rm2"
 run "$LOG/distill/b4_rm2/checkpoints/best" \
     python cli/distill.py --teacher_ckpt "$T" --setting baseline --chz 4 \
     --growth 1.0 --seg_downscale 4 --epochs "$(ep 30)" --real_mix 128 \
-    --bdcn_weights "$BDCN" --synthetic 128 --expname b4_rm2 --log_dir "$LOG"
+    --bdcn_weights "$BDCN" --synthetic 128 --expname b4_rm2 --log_dir "$LOG" \
+    --remat 1
 export_art b4_rm2 "$LOG/distill/b4_rm2"
 
 run "$LOG/distill/ns_s8_rm2/checkpoints/best" \
@@ -249,7 +250,8 @@ export_art ns_s8_rm2 "$LOG/distill/ns_s8_rm2"
 # ---------------------------------------- 7. whole-clip real protocol
 # Re-score the key artifacts on all demo-clip frames out-of-sample
 # (VERDICT r2 #6); writes real_protocol.json beside each gate.json.
-for rung in calib_e4s4_rm2 ns_chz6_rm2 b8_rm2; do
+for rung in calib_e4s4_rm2 ns_chz6_rm2 b8_rm2 calib_e4s4_in2_boot \
+            ns_s8_rm2 b4_rm2; do
     if [ ! -f "$ART/$rung/real_protocol.json" ]; then
         python cli/real_protocol.py --ckpt "$ART/$rung" 2>&1 \
             | tee -a "$LOG/regen.log" | grep -E '^\{' >> "$GATES" || true
