@@ -454,11 +454,23 @@ class DistillTrainer:
         return jax.device_put(state, replicated_sharding(self.mesh))
 
     def set_lr(self, state: TrainState, lr: float) -> TrainState:
+        # Preserve the old leaf's sharding: a bare jnp.asarray is
+        # SingleDeviceSharding, which changes the distill-step jit cache key
+        # after the first epoch's plateau update and recompiles the whole
+        # program (the axon compile helper gets OOM-SIGKILLed on it).
         opt_state = state.opt_state
-        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        old = opt_state.hyperparams["learning_rate"]
+        new = jnp.asarray(lr, jnp.float32)
+        if hasattr(old, "sharding"):
+            new = jax.device_put(new, old.sharding)
+        opt_state.hyperparams["learning_rate"] = new
         return state._replace(opt_state=opt_state)
 
     def run_epoch(self, state, pipeline, epoch, alpha=1.0):
+        # traced replicated scalar — a python float would bake a constant and
+        # specialize the distill program per distinct alpha (see trainer.py)
+        alpha = jax.device_put(jnp.asarray(alpha, jnp.float32),
+                               replicated_sharding(self.mesh))
         if hasattr(pipeline, "set_epoch"):
             pipeline.set_epoch(epoch)
         agg, nb, t0 = [], 0, time.time()

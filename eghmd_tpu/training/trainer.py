@@ -279,12 +279,30 @@ class Trainer:
         return jax.device_put(state, replicated_sharding(self.mesh))
 
     def set_lr(self, state: TrainState, lr: float) -> TrainState:
+        # Keep the new scalar on the OLD leaf's sharding: a bare jnp.asarray
+        # lands as SingleDeviceSharding, which differs from the jit output's
+        # NamedSharding and changes the train-step cache key — forcing a full
+        # recompile of the train program at the first epoch boundary (and
+        # OOM-killing the axon compile helper on big programs).
         opt_state = state.opt_state
-        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        old = opt_state.hyperparams["learning_rate"]
+        new = jnp.asarray(lr, jnp.float32)
+        if hasattr(old, "sharding"):
+            new = jax.device_put(new, old.sharding)
+        opt_state.hyperparams["learning_rate"] = new
         return state._replace(opt_state=opt_state)
 
+    def _alpha_scalar(self, alpha):
+        """Alpha as a replicated traced scalar, NOT a baked python float.
+
+        A python float specializes the jitted step per value — and alpha
+        changes every epoch (epoch/epochs), so the full train program would
+        recompile each epoch (minutes each over the axon tunnel)."""
+        return jax.device_put(jnp.asarray(alpha, jnp.float32),
+                              replicated_sharding(self.mesh))
+
     def run_epoch(self, state, pipeline, epoch):
-        alpha = alpha_schedule(epoch, self.config.epochs)
+        alpha = self._alpha_scalar(alpha_schedule(epoch, self.config.epochs))
         if hasattr(pipeline, "set_epoch"):
             pipeline.set_epoch(epoch)  # resume-reproducible shuffle order
         agg = []
@@ -328,6 +346,7 @@ class Trainer:
         return state, summary
 
     def evaluate(self, state, pipeline, alpha=0.0, max_batches=None):
+        alpha = self._alpha_scalar(alpha)
         agg = []
         for i, batch in enumerate(pipeline):
             if max_batches is not None and i >= max_batches:

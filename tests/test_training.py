@@ -130,6 +130,28 @@ class TestTrainStep:
         state, _ = shared_trainer.train_step(state, b, 0.0)  # must not recompile-crash
         assert float(state.opt_state.hyperparams["learning_rate"]) == pytest.approx(1e-5)
 
+    def test_epoch_boundary_does_not_recompile(self, mesh_pipe, shared_trainer):
+        """set_lr + a new alpha must NOT change the train-step cache key.
+
+        Regression for two real production failures on the axon tunnel:
+        (a) set_lr used to insert a bare jnp.asarray (SingleDeviceSharding)
+        into a NamedSharding-replicated state, and (b) alpha was a baked
+        python float that changes every epoch — either one forces a full
+        recompile of the train program at each epoch boundary (and the
+        server-side compile helper OOMs on large programs)."""
+        trainer = shared_trainer
+        b = next(iter(mesh_pipe[1]))
+        state = trainer.init_state(b)
+        a0 = trainer._alpha_scalar(0.25)
+        state, _ = trainer.train_step(state, b, a0)
+        n0 = trainer.train_step._cache_size()
+        # epoch boundary: plateau LR update + next epoch's alpha
+        state = trainer.set_lr(state, 3e-4)
+        a1 = trainer._alpha_scalar(0.75)
+        state, _ = trainer.train_step(state, b, a1)
+        assert trainer.train_step._cache_size() == n0, \
+            "epoch boundary recompiled the train step"
+
 
 class TestBf16Training:
     @pytest.mark.slow  # its own compile of the full train step on the CPU mesh
