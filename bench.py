@@ -285,7 +285,9 @@ _STUDENT_RUNGS = [
       "logs/distill/ns_s8_rm2/checkpoints")),
     (dict(setting="baseline", chz=6, growth=1.0, seg_downscale=4,
           input_downscale=2),
-     ("artifacts/ns_chz6_in2_rm2/checkpoints",
+     ("artifacts/ns_chz6_in2_boot/checkpoints",
+      "logs/distill/ns_chz6_in2_boot/checkpoints",
+      "artifacts/ns_chz6_in2_rm2/checkpoints",
       "logs/distill/ns_chz6_in2_rm2/checkpoints")),
     (dict(setting="baseline", chz=6, growth=1.0, seg_downscale=4,
           input_downscale=1),

@@ -247,11 +247,22 @@ run "$LOG/distill/ns_s8_rm2/checkpoints/best" \
     --bdcn_weights "$BDCN" --synthetic 128 --expname ns_s8_rm2 --log_dir "$LOG"
 export_art ns_s8_rm2 "$LOG/distill/ns_s8_rm2"
 
+# North-star in/2 via the partial bootstrap that gated the flagship in/2
+# (from-scratch in/2 at chz6 FAILED its gate — kept as negative evidence
+# in artifacts/ns_chz6_in2_rm2).
+run "$LOG/distill/ns_chz6_in2_boot/checkpoints/best" \
+    python cli/distill.py --teacher_ckpt "$T" --setting baseline --chz 6 \
+    --growth 1.0 --seg_downscale 4 --input_downscale 2 \
+    --init_ckpt "$LOG/distill/ns_chz6_rm2/checkpoints" --lr 3e-4 \
+    --epochs "$(ep 30)" --real_mix 128 --bdcn_weights "$BDCN" --synthetic 128 \
+    --expname ns_chz6_in2_boot --log_dir "$LOG"
+export_art ns_chz6_in2_boot "$LOG/distill/ns_chz6_in2_boot"
+
 # ---------------------------------------- 7. whole-clip real protocol
 # Re-score the key artifacts on all demo-clip frames out-of-sample
 # (VERDICT r2 #6); writes real_protocol.json beside each gate.json.
 for rung in calib_e4s4_rm2 ns_chz6_rm2 b8_rm2 calib_e4s4_in2_boot \
-            ns_s8_rm2 b4_rm2; do
+            ns_s8_rm2 b4_rm2 ns_chz6_in2_boot; do
     if [ ! -f "$ART/$rung/real_protocol.json" ]; then
         python cli/real_protocol.py --ckpt "$ART/$rung" 2>&1 \
             | tee -a "$LOG/regen.log" | grep -E '^\{' >> "$GATES" || true
