@@ -467,10 +467,12 @@ class DistillTrainer:
         return state._replace(opt_state=opt_state)
 
     def run_epoch(self, state, pipeline, epoch, alpha=1.0):
-        # traced replicated scalar — a python float would bake a constant and
-        # specialize the distill program per distinct alpha (see trainer.py)
-        alpha = jax.device_put(jnp.asarray(alpha, jnp.float32),
-                               replicated_sharding(self.mesh))
+        # alpha stays a python float here ON PURPOSE: distillation uses a
+        # fixed alpha for the whole run (no schedule), python-float jit args
+        # are traced weak-typed scalars (value-independent cache key), and
+        # keeping the signature byte-stable preserves the server-side
+        # persistent-cache hit for the very expensive distill programs
+        # (the chz4 one OOMs the axon compile helper when recompiled).
         if hasattr(pipeline, "set_epoch"):
             pipeline.set_epoch(epoch)
         agg, nb, t0 = [], 0, time.time()

@@ -292,17 +292,14 @@ class Trainer:
         opt_state.hyperparams["learning_rate"] = new
         return state._replace(opt_state=opt_state)
 
-    def _alpha_scalar(self, alpha):
-        """Alpha as a replicated traced scalar, NOT a baked python float.
-
-        A python float specializes the jitted step per value — and alpha
-        changes every epoch (epoch/epochs), so the full train program would
-        recompile each epoch (minutes each over the axon tunnel)."""
-        return jax.device_put(jnp.asarray(alpha, jnp.float32),
-                              replicated_sharding(self.mesh))
-
     def run_epoch(self, state, pipeline, epoch):
-        alpha = self._alpha_scalar(alpha_schedule(epoch, self.config.epochs))
+        # alpha rides as a python float: jit traces it as a weak-typed f32
+        # scalar whose cache key is value-independent, so the per-epoch
+        # schedule does NOT respecialize the step (committed histories
+        # confirm: epochs 2+ run at steady state with changing alpha).
+        # Keeping the signature byte-stable also preserves server-side
+        # persistent-cache hits for the big train programs.
+        alpha = alpha_schedule(epoch, self.config.epochs)
         if hasattr(pipeline, "set_epoch"):
             pipeline.set_epoch(epoch)  # resume-reproducible shuffle order
         agg = []
@@ -346,7 +343,6 @@ class Trainer:
         return state, summary
 
     def evaluate(self, state, pipeline, alpha=0.0, max_batches=None):
-        alpha = self._alpha_scalar(alpha)
         agg = []
         for i, batch in enumerate(pipeline):
             if max_batches is not None and i >= max_batches:

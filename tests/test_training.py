@@ -133,22 +133,20 @@ class TestTrainStep:
     def test_epoch_boundary_does_not_recompile(self, mesh_pipe, shared_trainer):
         """set_lr + a new alpha must NOT change the train-step cache key.
 
-        Regression for two real production failures on the axon tunnel:
-        (a) set_lr used to insert a bare jnp.asarray (SingleDeviceSharding)
-        into a NamedSharding-replicated state, and (b) alpha was a baked
-        python float that changes every epoch — either one forces a full
-        recompile of the train program at each epoch boundary (and the
-        server-side compile helper OOMs on large programs)."""
+        Regression for a real production failure on the axon tunnel: set_lr
+        used to insert a bare jnp.asarray (SingleDeviceSharding) into a
+        NamedSharding-replicated state, forcing a full recompile of the
+        train program at the first epoch boundary — the server-side compile
+        helper OOM-SIGKILLs on large programs. Alpha (python float) must
+        also stay value-independent: jit traces it as a weak f32 scalar."""
         trainer = shared_trainer
         b = next(iter(mesh_pipe[1]))
         state = trainer.init_state(b)
-        a0 = trainer._alpha_scalar(0.25)
-        state, _ = trainer.train_step(state, b, a0)
+        state, _ = trainer.train_step(state, b, 0.25)
         n0 = trainer.train_step._cache_size()
-        # epoch boundary: plateau LR update + next epoch's alpha
+        # epoch boundary: plateau LR update + next epoch's alpha value
         state = trainer.set_lr(state, 3e-4)
-        a1 = trainer._alpha_scalar(0.75)
-        state, _ = trainer.train_step(state, b, a1)
+        state, _ = trainer.train_step(state, b, 0.75)
         assert trainer.train_step._cache_size() == n0, \
             "epoch boundary recompiled the train step"
 
