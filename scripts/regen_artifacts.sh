@@ -25,13 +25,22 @@ Q=${REGEN_QUICK:-0}
 ep() { if [ "$Q" = 1 ]; then echo $((($1 + 1) / 2)); else echo "$1"; fi; }
 
 run() { # run <done-marker-dir> <cmd...>
+    # The axon compile helper is OOM-SIGKILLed server-side now and then
+    # (HTTP 500 through remote_compile) — transient; a rerun usually hits
+    # the persistent compile cache. Retry each stage up to 3 times until
+    # its done-marker exists (a retry restarts the stage fresh; compile
+    # failures happen at epoch 0, before any work worth keeping).
     local marker=$1; shift
-    if [ -d "$marker" ]; then
-        echo "== skip (exists): $marker"
-        return 0
-    fi
-    echo "== run: $*"
-    "$@" 2>&1 | tee -a "$LOG/regen.log" | grep -E '^\{' >> "$GATES" || true
+    local attempt
+    for attempt in 1 2 3; do
+        if [ -d "$marker" ]; then
+            [ "$attempt" = 1 ] && echo "== skip (exists): $marker"
+            return 0
+        fi
+        echo "== run (attempt $attempt): $*"
+        "$@" 2>&1 | tee -a "$LOG/regen.log" | grep -E '^\{' >> "$GATES" || true
+    done
+    [ -d "$marker" ] || echo "== FAILED after 3 attempts: $marker"
 }
 
 export_art() { # export_art <name> <run_dir> [weights|noweights]
