@@ -271,7 +271,8 @@ export_art ns_chz6_in2_boot "$LOG/distill/ns_chz6_in2_boot"
 # Re-score the key artifacts on all demo-clip frames out-of-sample
 # (VERDICT r2 #6); writes real_protocol.json beside each gate.json.
 for rung in calib_e4s4_rm2 ns_chz6_rm2 b8_rm2 calib_e4s4_in2_boot \
-            ns_s8_rm2 b4_rm2 ns_chz6_in2_boot; do
+            ns_s8_rm2 b4_rm2 ns_chz6_in2_boot \
+            ic16_rm2 ic8_rm2 calib_e4s2_rm2; do
     if [ ! -f "$ART/$rung/real_protocol.json" ]; then
         python cli/real_protocol.py --ckpt "$ART/$rung" 2>&1 \
             | tee -a "$LOG/regen.log" | grep -E '^\{' >> "$GATES" || true
