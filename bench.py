@@ -276,6 +276,10 @@ _CANONICAL_BDCN = ("artifacts/bdcn/checkpoints", "logs/bdcn/r2/checkpoints")
 # its distill run's gate.json says accepted. cfg keys mirror run_one kwargs.
 _STUDENT_RUNGS = [
     (dict(setting="baseline", chz=4, growth=1.0, seg_downscale=4,
+          input_downscale=2),
+     ("artifacts/b4_in2_boot/checkpoints",
+      "logs/distill/b4_in2_boot/checkpoints")),
+    (dict(setting="baseline", chz=4, growth=1.0, seg_downscale=4,
           input_downscale=1),
      ("artifacts/b4_rm2/checkpoints",
       "logs/distill/b4_rm2/checkpoints")),

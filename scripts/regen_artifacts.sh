@@ -267,11 +267,23 @@ run "$LOG/distill/ns_chz6_in2_boot/checkpoints/best" \
     --expname ns_chz6_in2_boot --log_dir "$LOG"
 export_art ns_chz6_in2_boot "$LOG/distill/ns_chz6_in2_boot"
 
+# Ceiling x fast-input: chz4 additionally at in/2, partial-bootstrapped
+# from the gated full-res chz4 rung (same recipe that gated in/2 at
+# chz6 and chz32). --remat 1 keeps the chz4 distill program small
+# enough for the server-side compile helper.
+run "$LOG/distill/b4_in2_boot/checkpoints/best" \
+    python cli/distill.py --teacher_ckpt "$T" --setting baseline --chz 4 \
+    --growth 1.0 --seg_downscale 4 --input_downscale 2 \
+    --init_ckpt "$LOG/distill/b4_rm2/checkpoints" --lr 3e-4 \
+    --epochs "$(ep 30)" --real_mix 128 --bdcn_weights "$BDCN" --synthetic 128 \
+    --expname b4_in2_boot --log_dir "$LOG" --remat 1
+export_art b4_in2_boot "$LOG/distill/b4_in2_boot"
+
 # ---------------------------------------- 7. whole-clip real protocol
 # Re-score the key artifacts on all demo-clip frames out-of-sample
 # (VERDICT r2 #6); writes real_protocol.json beside each gate.json.
 for rung in calib_e4s4_rm2 ns_chz6_rm2 b8_rm2 calib_e4s4_in2_boot \
-            ns_s8_rm2 b4_rm2 ns_chz6_in2_boot \
+            ns_s8_rm2 b4_rm2 ns_chz6_in2_boot b4_in2_boot \
             ic16_rm2 ic8_rm2 calib_e4s2_rm2; do
     if [ ! -f "$ART/$rung/real_protocol.json" ]; then
         python cli/real_protocol.py --ckpt "$ART/$rung" 2>&1 \
