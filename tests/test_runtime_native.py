@@ -55,15 +55,20 @@ def test_speedup_vs_scipy():
     label = rng.randint(0, 3, (240, 320)).astype(np.int32)
     # warm
     hostops_native.signed_distance_maps(label, 3)
-    t0 = time.perf_counter()
-    for _ in range(5):
-        hostops_native.signed_distance_maps(label, 3)
-    native_t = (time.perf_counter() - t0) / 5
 
-    t0 = time.perf_counter()
-    for _ in range(5):
-        for c in range(3):
-            one_hot_to_dist(label == c)
-    scipy_t = (time.perf_counter() - t0) / 5
+    # best-of-N: this box has ONE core, so a concurrently running job
+    # (e.g. a TPU driver's host thread) can preempt any single trial;
+    # the min over trials is robust to that, the mean is not.
+    def best_of(fn, n=5):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    native_t = best_of(lambda: hostops_native.signed_distance_maps(label, 3))
+    scipy_t = best_of(
+        lambda: [one_hot_to_dist(label == c) for c in range(3)])
     # must be at least 2x faster (usually ~5-10x)
     assert native_t < scipy_t / 2, (native_t, scipy_t)
