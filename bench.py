@@ -463,6 +463,10 @@ def main():
     p.add_argument("--no-train-cost", action="store_true",
                    help="skip the train-step XLA cost analysis (model "
                         "FLOPs/bytes per step at 240x320 b16 bf16 remat)")
+    p.add_argument("--latency-iters", type=int, default=40,
+                   help="small-batch step-latency measurement window for "
+                        "the HMD real-time budget (batch 1 and 8 at the "
+                        "final serving config); 0 disables")
     p.add_argument("--profile-dir", default="",
                    help="non-empty: capture a jax.profiler device trace of "
                         "a few serving steps into this directory "
@@ -538,6 +542,32 @@ def main():
               f"{extras['gbytes_per_frame']} GB/frame -> "
               f"{tflops:.1f} TFLOP/s, {gbps:.0f} GB/s HBM at {fps:.1f} fps",
               file=sys.stderr)
+
+    latency = {}
+    if args.latency_iters > 0:
+        # HMD serving is LATENCY-critical, not just throughput-critical:
+        # the number an eye-tracker integrator needs is ms/frame at small
+        # batch, not fps at batch 64+. Measured as pipelined step time
+        # (iters dispatches, one trailing fence — see _fence: per-call
+        # fencing would time this image's tunnel RTT, not the chip), i.e.
+        # the steady-state compute latency of one step on a saturated
+        # queue; host->device dispatch is excluded by construction.
+        try:
+            for b in (1, 8):
+                b_fps, _ = run_one(
+                    dtype, b, args.refine, args.edge_downscale,
+                    args.seg_downscale, iters=args.latency_iters,
+                    setting=args.setting, chz=args.chz, growth=args.growth,
+                    ckpt=args.ckpt, bdcn_ckpt=args.bdcn_ckpt,
+                    input_downscale=args.input_downscale)
+                latency[f"latency_ms_b{b}"] = round(1000.0 * b / b_fps, 3)
+                latency[f"fps_b{b}"] = round(b_fps, 1)
+            print("step latency (pipelined, dispatch excluded): "
+                  f"b1 {latency.get('latency_ms_b1')} ms/frame, "
+                  f"b8 {latency.get('latency_ms_b8')} ms/8 frames "
+                  f"({latency.get('fps_b8')} fps)", file=sys.stderr)
+        except Exception as e:  # pragma: no cover - auxiliary measurement
+            print(f"latency measurement failed: {e}", file=sys.stderr)
 
     student = {}
     if (not args.no_student and not args.refine and args.chz == 32
@@ -657,6 +687,7 @@ def main():
         "chz": args.chz,
         **extras,
         **gate,
+        **latency,
         **student,
         **train_cost,
     }))
