@@ -255,6 +255,14 @@ def main(argv=None):
     dump_run_args(log_dir, args)
     ckpt = CheckpointManager(os.path.join(log_dir, "checkpoints"))
     state, start_epoch = None, 0
+    # With --resume 1 but nothing to resume FROM, fall through to the
+    # requested init (teacher copy / partial bootstrap) instead of
+    # silently training from random weights: a retry wrapper that always
+    # passes --resume must not lose the warm start on its first attempt.
+    if args.resume and ckpt.latest_epoch() is None:
+        print("--resume: no epoch checkpoint found; running the "
+              "requested initialization instead")
+        args.resume = 0
     if args.init_from_teacher and not args.resume:
         import jax
 
