@@ -232,6 +232,23 @@ def test_distill_cli_smoke(tmp_path):
     with open(tmp_path / "distill" / "distill" / "gate.json") as f:
         assert json.load(f)["accepted"] == rec["accepted"]
 
+    # --init_ckpt + --resume 1 on a FRESH expname must fall back to the
+    # partial bootstrap (not silently train from random weights): retry
+    # wrappers always pass --resume, and losing the warm start on attempt 1
+    # wastes an entire training stage.
+    out2 = subprocess.run(
+        [sys.executable, "cli/distill.py", "--synthetic", "16", "--epochs",
+         "1", "--chz", "8", "--teacher_chz", "8", "--teacher_setting",
+         "baseline", "--batchsize", "8", "--image_height", "176",
+         "--image_width", "192", "--log_dir", str(tmp_path),
+         "--expname", "boot",
+         "--init_ckpt", str(tmp_path / "distill" / "distill" / "checkpoints"),
+         "--resume", "1"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=1200)
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    assert "running the requested initialization" in out2.stdout
+    assert "partially bootstrapped" in out2.stdout
+
 
 class TestServingShapeDistill:
     """Shortcut-calibrated distillation: the student TRAINS at its serving
