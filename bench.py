@@ -15,8 +15,14 @@ the optimal batch is the largest that fits) and an XLA cost analysis
 (GFLOPs/frame, GB/frame, achieved TFLOP/s and HBM GB/s) is reported on
 stderr and in the JSON extras.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"} with
-vs_baseline relative to the 5,000 frames/sec/chip north star (BASELINE.md).
+Prints the headline JSON line {"metric", "value", "unit", "vs_baseline"}
+(vs_baseline relative to the 5,000 frames/sec/chip north star, BASELINE.md)
+as soon as the flagship measurement lands, then RE-EMITS the whole enriched
+line after each optional stage (student rung / small-batch latency /
+train-step cost) — consumers take the LAST parseable JSON line, and a
+timeout can only truncate extras, never the verdict. Optional stages are
+skipped when the BENCH_BUDGET_S wall budget (default 1500 s) is nearly
+spent; the batch sweep stops after two declining candidates.
 """
 
 import json
@@ -476,11 +482,24 @@ def main():
 
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[args.dtype]
 
+    # Total wall budget for the argless run. The step is HBM-bound, so the
+    # measurement itself is seconds; what costs minutes is XLA compilation
+    # over the axon tunnel (~8 programs cold). Optional stages are skipped
+    # once the budget is near, so the headline JSON always lands inside the
+    # driver's timeout (VERDICT r3 #1: BENCH_r03 died at rc=124 with the
+    # verdict unemitted).
+    t_start = time.monotonic()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", 1500))
+
+    def _budget_left():
+        return budget_s - (time.monotonic() - t_start)
+
     if args.batch_frames > 0:
         candidates = [args.batch_frames]
     else:
         candidates = [64, 128, 192, 256]
-    best_fps, best_bs = 0.0, candidates[0]
+    best_fps, best_bs, declines = 0.0, candidates[0], 0
+    prev_fps = 0.0
     for bs in candidates:
         try:
             # sweep with random weights even under --ckpt: throughput is
@@ -505,6 +524,20 @@ def main():
         print(f"batch {bs}: {fps:.1f} fps", file=sys.stderr)
         if fps > best_fps:
             best_fps, best_bs = fps, bs
+        # fps vs batch is unimodal for a bandwidth-bound step: once it
+        # declines twice in a row, larger batches only waste tunnel
+        # compiles (and b256 falls off a 20x HBM-oversubscription cliff —
+        # BASELINE.md); stop early (VERDICT r3 #1b/#6)
+        declines = declines + 1 if fps < prev_fps else 0
+        prev_fps = fps
+        if declines >= 2:
+            print(f"sweep: two declining candidates (peak b{best_bs}); "
+                  "stopping early", file=sys.stderr)
+            break
+        if fps < 0.5 * best_fps:
+            print(f"batch {bs}: >2x collapse vs peak (HBM "
+                  "oversubscription); stopping sweep", file=sys.stderr)
+            break
 
     fps, extras = run_one(dtype, best_bs, args.refine, args.edge_downscale,
                           args.seg_downscale, iters=args.iters, analyze=True,
@@ -543,35 +576,89 @@ def main():
               f"{tflops:.1f} TFLOP/s, {gbps:.0f} GB/s HBM at {fps:.1f} fps",
               file=sys.stderr)
 
-    latency = {}
-    if args.latency_iters > 0:
-        # HMD serving is LATENCY-critical, not just throughput-critical:
-        # the number an eye-tracker integrator needs is ms/frame at small
-        # batch, not fps at batch 64+. Measured as pipelined step time
-        # (iters dispatches, one trailing fence — see _fence: per-call
-        # fencing would time this image's tunnel RTT, not the chip), i.e.
-        # the steady-state compute latency of one step on a saturated
-        # queue; host->device dispatch is excluded by construction.
-        try:
-            for b in (1, 8):
-                b_fps, _ = run_one(
-                    dtype, b, args.refine, args.edge_downscale,
-                    args.seg_downscale, iters=args.latency_iters,
-                    setting=args.setting, chz=args.chz, growth=args.growth,
-                    ckpt=args.ckpt, bdcn_ckpt=args.bdcn_ckpt,
-                    input_downscale=args.input_downscale)
-                latency[f"latency_ms_b{b}"] = round(1000.0 * b / b_fps, 3)
-                latency[f"fps_b{b}"] = round(b_fps, 1)
-            print("step latency (pipelined, dispatch excluded): "
-                  f"b1 {latency.get('latency_ms_b1')} ms/frame, "
-                  f"b8 {latency.get('latency_ms_b8')} ms/8 frames "
-                  f"({latency.get('fps_b8')} fps)", file=sys.stderr)
-        except Exception as e:  # pragma: no cover - auxiliary measurement
-            print(f"latency measurement failed: {e}", file=sys.stderr)
+    metric = "e2e_dual_eye_inference_fps_640x400"
+    if args.refine:
+        metric += "_refined"
+    gate = {}
+    # trained-checkpoint accuracy gates: shortcut-CALIBRATED chz32 students
+    # (distilled at these exact serving configurations with real-frame
+    # mix-in, eval frames disjoint from training frames) pass distill_gate,
+    # BEATING the full-res teacher's GT mIoU (BASELINE.md). Evidence is
+    # read from the gate.json the distill run recorded beside the served
+    # checkpoint — never hardcoded numbers.
+    rec = _gate_record(args.ckpt) if args.ckpt else None
+    if rec and rec.get("accepted"):
+        # "shape_gated": a student of THIS architecture+serving shape passed
+        # the fidelity gate at a trained checkpoint; "gated_ckpt_served"
+        # says whether this very measurement loaded those weights
+        ev = ("calibrated+real-mix distillation at this serving shape: "
+              f"GT mIoU drop {rec.get('miou_drop', 0.0):+.4f} vs teacher")
+        if "real_agreement_miou" in rec:
+            ev += (", real-clip teacher agreement "
+                   f"{rec['real_agreement_miou']:.3f} on "
+                   f"{rec.get('real_frames', '?')} unseen frames")
+        gate = {"flagship_shape_gated": True,
+                "flagship_gate_evidence": ev + " (gate.json beside ckpt)",
+                "gated_ckpt_served": True}
+    elif (args.setting, args.chz, args.edge_downscale, args.seg_downscale,
+          args.input_downscale) in _CANONICAL_CKPTS:
+        # This shape is on the gated ladder but no gate-passing artifact is
+        # on disk: the flag is EARNED by an on-disk gate.json, never by the
+        # shape's membership in the table (VERDICT r2 weak #1).
+        gate = {"flagship_shape_gated": False,
+                "gated_ckpt_served": False,
+                "gate_evidence_missing":
+                    "no gate-passing checkpoint on disk for this serving "
+                    "shape — regenerate with scripts/regen_artifacts.sh"}
 
+    # Incremental JSON emission (VERDICT r3 #1a): the headline verdict —
+    # fps + shape + roofline + gate flags — lands the moment it is
+    # measured; each optional stage then RE-EMITS the whole enriched line.
+    # A consumer takes the LAST parseable JSON line; a timeout can only
+    # truncate extras, never the verdict.
+    record = {
+        "metric": metric,
+        "value": round(fps, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / 5000.0, 4),
+        "batch_frames": best_bs,
+        # batch residence time derived from fenced throughput (true
+        # single-dispatch latency is unmeasurable through the axon tunnel's
+        # ~1 s dispatch overhead; on production hosts the serving step is
+        # dispatched back-to-back so residence time is the relevant bound)
+        "derived_batch_ms": round(best_bs / fps * 1000.0, 2),
+        "edge_downscale": args.edge_downscale,
+        "seg_downscale": args.seg_downscale,
+        "input_downscale": args.input_downscale,
+        "setting": args.setting,
+        "chz": args.chz,
+        **extras,
+        **gate,
+    }
+
+    def emit():
+        record["bench_wall_s"] = round(time.monotonic() - t_start, 1)
+        print(json.dumps(record))
+        sys.stdout.flush()
+
+    emit()
+
+    def _stage_fits(name, est_s=120.0):
+        """Skip an optional stage when the wall budget is nearly spent —
+        a skipped extra beats a truncated artifact."""
+        if _budget_left() < est_s:
+            print(f"skipping {name} stage: {_budget_left():.0f}s of budget "
+                  f"left (< {est_s:.0f}s estimate); headline already "
+                  "emitted", file=sys.stderr)
+            return False
+        return True
+
+    # Stage order is by evidentiary weight: the gated-student rung first
+    # (the JSON's student_shape_ungated flag is part of the round verdict),
+    # then small-batch latency, then the train-step cost analysis.
     student = {}
     if (not args.no_student and not args.refine and args.chz == 32
-            and args.setting == "baseline_edge"):
+            and args.setting == "baseline_edge" and _stage_fits("student")):
         # Distilled-student serving point (training/distill.py): the fastest
         # ladder rung measured on this chip — a chz=6/growth=1.0 no-edge
         # student decoding seg at 1/4 res. Without --student_ckpt this
@@ -613,11 +700,42 @@ def main():
                    else "ungated weights")
             print(f"student rung ({tag}): {s_fps:.1f} fps "
                   f"({s_fps / 5000.0:.2f}x north star)", file=sys.stderr)
+            record.update(student)
+            emit()
         except Exception as e:  # pragma: no cover - auxiliary measurement
             print(f"student measurement failed: {e}", file=sys.stderr)
 
+    latency = {}
+    if args.latency_iters > 0 and _stage_fits("latency"):
+        # HMD serving is LATENCY-critical, not just throughput-critical:
+        # the number an eye-tracker integrator needs is ms/frame at small
+        # batch, not fps at batch 64+. Measured as pipelined step time
+        # (iters dispatches, one trailing fence — see _fence: per-call
+        # fencing would time this image's tunnel RTT, not the chip), i.e.
+        # the steady-state compute latency of one step on a saturated
+        # queue; host->device dispatch is excluded by construction.
+        try:
+            for b in (1, 8):
+                b_fps, _ = run_one(
+                    dtype, b, args.refine, args.edge_downscale,
+                    args.seg_downscale, iters=args.latency_iters,
+                    setting=args.setting, chz=args.chz, growth=args.growth,
+                    ckpt=args.ckpt, bdcn_ckpt=args.bdcn_ckpt,
+                    input_downscale=args.input_downscale)
+                latency[f"latency_ms_b{b}"] = round(1000.0 * b / b_fps, 3)
+                latency[f"fps_b{b}"] = round(b_fps, 1)
+            print("step latency (pipelined, dispatch excluded): "
+                  f"b1 {latency.get('latency_ms_b1')} ms/frame, "
+                  f"b8 {latency.get('latency_ms_b8')} ms/8 frames "
+                  f"({latency.get('fps_b8')} fps)", file=sys.stderr)
+            record.update(latency)
+            emit()
+        except Exception as e:  # pragma: no cover - auxiliary measurement
+            print(f"latency measurement failed: {e}", file=sys.stderr)
+
     train_cost = {}
-    if not args.no_train_cost and not args.refine:
+    if (not args.no_train_cost and not args.refine
+            and _stage_fits("train-cost")):
         try:
             train_cost = train_cost_analysis(
                 measure_iters=max(0, args.train_iters))
@@ -632,65 +750,10 @@ def main():
                         f" samples/s ({train_cost['train_hbm_gbps_achieved']}"
                         " GB/s HBM)")
             print(msg, file=sys.stderr)
+            record.update(train_cost)
+            emit()
         except Exception as e:  # pragma: no cover - auxiliary measurement
             print(f"train cost analysis failed: {e}", file=sys.stderr)
-
-    metric = "e2e_dual_eye_inference_fps_640x400"
-    if args.refine:
-        metric += "_refined"
-    gate = {}
-    # trained-checkpoint accuracy gates: shortcut-CALIBRATED chz32 students
-    # (distilled at these exact serving configurations with real-frame
-    # mix-in, eval frames disjoint from training frames) pass distill_gate,
-    # BEATING the full-res teacher's GT mIoU (BASELINE.md). Evidence is
-    # read from the gate.json the distill run recorded beside the served
-    # checkpoint — never hardcoded numbers.
-    rec = _gate_record(args.ckpt) if args.ckpt else None
-    if rec and rec.get("accepted"):
-        # "shape_gated": a student of THIS architecture+serving shape passed
-        # the fidelity gate at a trained checkpoint; "gated_ckpt_served"
-        # says whether this very measurement loaded those weights
-        ev = ("calibrated+real-mix distillation at this serving shape: "
-              f"GT mIoU drop {rec.get('miou_drop', 0.0):+.4f} vs teacher")
-        if "real_agreement_miou" in rec:
-            ev += (", real-clip teacher agreement "
-                   f"{rec['real_agreement_miou']:.3f} on "
-                   f"{rec.get('real_frames', '?')} unseen frames")
-        gate = {"flagship_shape_gated": True,
-                "flagship_gate_evidence": ev + " (gate.json beside ckpt)",
-                "gated_ckpt_served": True}
-    elif (args.setting, args.chz, args.edge_downscale, args.seg_downscale,
-          args.input_downscale) in _CANONICAL_CKPTS:
-        # This shape is on the gated ladder but no gate-passing artifact is
-        # on disk: the flag is EARNED by an on-disk gate.json, never by the
-        # shape's membership in the table (VERDICT r2 weak #1).
-        gate = {"flagship_shape_gated": False,
-                "gated_ckpt_served": False,
-                "gate_evidence_missing":
-                    "no gate-passing checkpoint on disk for this serving "
-                    "shape — regenerate with scripts/regen_artifacts.sh"}
-    print(json.dumps({
-        "metric": metric,
-        "value": round(fps, 1),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / 5000.0, 4),
-        "batch_frames": best_bs,
-        # batch residence time derived from fenced throughput (true
-        # single-dispatch latency is unmeasurable through the axon tunnel's
-        # ~1 s dispatch overhead; on production hosts the serving step is
-        # dispatched back-to-back so residence time is the relevant bound)
-        "derived_batch_ms": round(best_bs / fps * 1000.0, 2),
-        "edge_downscale": args.edge_downscale,
-        "seg_downscale": args.seg_downscale,
-        "input_downscale": args.input_downscale,
-        "setting": args.setting,
-        "chz": args.chz,
-        **extras,
-        **gate,
-        **latency,
-        **student,
-        **train_cost,
-    }))
 
 
 if __name__ == "__main__":

@@ -260,8 +260,12 @@ def main(argv=None):
     # silently training from random weights: a retry wrapper that always
     # passes --resume must not lose the warm start on its first attempt.
     if args.resume and ckpt.latest_epoch() is None:
-        print("--resume: no epoch checkpoint found; running the "
-              "requested initialization instead")
+        if args.init_ckpt or args.init_from_teacher:
+            print("--resume: no epoch checkpoint found; running the "
+                  "requested initialization instead")
+        else:
+            print("--resume: no epoch checkpoint found; training from "
+                  "scratch")
         args.resume = 0
     if args.init_from_teacher and not args.resume:
         import jax
