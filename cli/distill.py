@@ -62,8 +62,21 @@ def parse_args(argv=None):
     p.add_argument("--w_el", type=float, default=10.0)
     p.add_argument("--w_gt", type=float, default=1.0,
                    help="ground-truth loss mix-in weight (0 = pure KD)")
+    p.add_argument("--w_center", type=float, default=0.0,
+                   help="center KD weight: Euclidean distance between the "
+                        "student's and teacher's seg-derived soft-argmax "
+                        "centers (the seg-KL term is nearly blind to small "
+                        "spatial shifts of the pupil blob; this supervises "
+                        "the tracker's actual output — reference "
+                        "test.py:235-238). 0 disables")
     p.add_argument("--max_miou_drop", type=float, default=0.02)
     p.add_argument("--min_agreement", type=float, default=0.90)
+    p.add_argument("--max_center_excess", type=float, default=2.0,
+                   help="gate: student val pup-center error may exceed the "
+                        "teacher's by at most this many px")
+    p.add_argument("--max_real_center_p50", type=float, default=8.0,
+                   help="gate: real-clip per-eye median pup-center delta vs "
+                        "the teacher must stay under this many px")
     p.add_argument("--init_from_teacher", type=int, default=0,
                    help="bootstrap the student from the teacher's weights "
                         "(requires identical architecture, e.g. shortcut "
@@ -239,7 +252,7 @@ def main(argv=None):
     trainer = DistillTrainer(
         cfg, student, teacher, teacher_vars,
         distill=DistillConfig(args.temperature, args.w_seg, args.w_el,
-                              args.w_gt),
+                              args.w_gt, args.w_center),
         edge_fn=build_edge_fn(args, cfg.dtype),
         teacher_edge_fn=teacher_edge_fn,
     )
@@ -345,7 +358,6 @@ def main(argv=None):
 
     fid = evaluate_fidelity(trainer.fidelity_step, state, trainer.teacher_vars,
                             valid_pipe)
-    accepted = distill_gate(fid, args.max_miou_drop, args.min_agreement)
     if args.real_video and (args.image_height, args.image_width) == (240, 320):
         # the serving-shaped students only: real frames are preprocessed to
         # the 240x320 serving geometry (reference evaluate.py:247)
@@ -360,6 +372,12 @@ def main(argv=None):
             teacher_edge_fn=trainer.teacher_edge_fn)
         if real is not None:
             fid.update(real)
+    # gate AFTER the real-frame merge: the real-clip center-p50 criterion
+    # must see its metric when a real pass ran (VERDICT r3 #2)
+    criteria = {}
+    accepted = distill_gate(fid, args.max_miou_drop, args.min_agreement,
+                            args.max_center_excess, args.max_real_center_p50,
+                            criteria_out=criteria)
     record = {"student_chz": args.chz, "student_setting": args.setting,
               "seg_downscale": args.seg_downscale,
               "edge_downscale": args.edge_downscale,
@@ -367,6 +385,7 @@ def main(argv=None):
               "gated_tag": gated_tag,
               **{k: round(v, 4) if isinstance(v, float) else v
                  for k, v in fid.items()},
+              "criteria": criteria,
               "accepted": bool(accepted)}
     print(json.dumps(record))
     # persist the verdict next to the artifact so downstream consumers

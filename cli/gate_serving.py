@@ -39,6 +39,11 @@ def parse_args(argv=None):
                         "reference .pt, or 'random'")
     p.add_argument("--edge_thres", type=int, default=0)
     p.add_argument("--max_miou_drop", type=float, default=0.02)
+    p.add_argument("--max_center_excess", type=float, default=2.0,
+                   help="gate: a shortcut's pupil-center error may exceed "
+                        "the full-resolution point's by at most this many "
+                        "px (the tracker's primary output — reference "
+                        "test.py:235-238; VERDICT r3 #2)")
     p.add_argument("--edge_factors", type=str, default="1,2,4")
     p.add_argument("--seg_factors", type=str, default="1,2,4")
     # data
@@ -101,16 +106,21 @@ def main(argv=None):
               f"pup_c {out['pup_seg_dist']:.2f}px", file=sys.stderr)
 
     ref = results["e1_s1"]["miou"]
+    ref_pup = results["e1_s1"]["pup_seg_dist"]
     gated = {}
     for key, r in results.items():
         drop = ref - r["miou"]
         r["miou_drop"] = round(drop, 4)
-        r["gated"] = bool(drop <= args.max_miou_drop)
+        r["center_excess_px"] = round(r["pup_seg_dist"] - ref_pup, 3)
+        r["gated"] = bool(drop <= args.max_miou_drop
+                          and r["center_excess_px"] <= args.max_center_excess)
         if r["gated"]:
             gated[key] = r
     best = max(gated, key=lambda k: (int(k.split("_")[0][1:])
                                      * int(k.split("_s")[1])))
     print(json.dumps({"reference_miou": ref, "max_miou_drop": args.max_miou_drop,
+                      "reference_pup_c": ref_pup,
+                      "max_center_excess": args.max_center_excess,
                       "best_gated": best, **results}))
     return results
 

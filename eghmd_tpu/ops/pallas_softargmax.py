@@ -117,7 +117,7 @@ def reference_softargmax():
         _FORCE_REFERENCE = prev
 
 
-def seg_centers(op, temperature: float = 4.0):
+def seg_centers(op, temperature: float = 4.0, differentiable: bool = False):
     """Serving-path center extraction: [B, H, W, 3] seg logits ->
     [B, 2, 2] normalized (iris, pupil) soft-argmax centers.
 
@@ -128,10 +128,22 @@ def seg_centers(op, temperature: float = 4.0):
     channels go through ONE fused kernel call (stacked on the batch axis).
     Computed in float32: at bf16 the softmax expectation loses ~1px of
     center precision.
+
+    ``differentiable=True`` routes through the plain-XLA softmax
+    expectation instead of the forward-only Pallas kernel — required when
+    gradients must flow through the centers (the center KD term in
+    :mod:`eghmd_tpu.training.distill`).
     """
-    b = op.shape[0]
+    b, h, w = op.shape[0], op.shape[1], op.shape[2]
     stacked = jnp.concatenate(
         [-op[..., 0].astype(jnp.float32), op[..., 2].astype(jnp.float32)], axis=0
     )
-    pts = soft_argmax_2d(stacked, temperature)
+    if differentiable:
+        grid_pts = create_meshgrid(h, w, True, jnp, dtype=stacked.dtype)
+        hw = h * w
+        pts = _reference(stacked.reshape(2 * b, hw),
+                         grid_pts[..., 0].reshape(1, hw),
+                         grid_pts[..., 1].reshape(1, hw), temperature)
+    else:
+        pts = soft_argmax_2d(stacked, temperature)
     return jnp.stack([pts[:b], pts[b:]], axis=1)

@@ -54,12 +54,21 @@ class DistillConfig:
     w_seg / w_el: weights of the seg-KL and ellipse-L1 fidelity terms.
     w_gt: weight of the full ground-truth loss (0 = pure distillation;
         >0 = mixed, requires labelled batches).
+    w_center: weight of the center KD term — Euclidean distance between
+        the student's and teacher's seg-derived soft-argmax centers
+        (iris + pupil, normalized coords). The seg-KL term matches
+        posteriors pixelwise but is nearly blind to small spatial shifts
+        of the pupil blob; this term supervises the serving pipeline's
+        actual center output directly (the reference's primary reported
+        metric, test.py:235-238, and a weighted term of its early-stop
+        composite, train.py:454-455). 0 disables.
     """
 
     temperature: float = 4.0
     w_seg: float = 20.0
     w_el: float = 10.0
     w_gt: float = 0.0
+    w_center: float = 0.0
 
 
 def make_distill_step(student, teacher, tx, distill: DistillConfig,
@@ -97,6 +106,18 @@ def make_distill_step(student, teacher, tx, distill: DistillConfig,
         kd_el = jnp.mean(jnp.abs(el_s.astype(jnp.float32) - el_t))
         loss = distill.w_seg * kd_seg + distill.w_el * kd_el
         aux = {"kd_seg": kd_seg, "kd_el": kd_el}
+        if distill.w_center:
+            from ..ops import seg_centers
+
+            # [B, 2, 2] normalized (iris, pupil) soft-argmax centers; the
+            # soft-argmax is differentiable, so this pulls the student's
+            # pupil/iris probability mass toward the teacher's location
+            c_s = seg_centers(op_s32, differentiable=True)
+            c_t = jax.lax.stop_gradient(seg_centers(op_t))
+            kd_center = jnp.mean(
+                jnp.sqrt(jnp.sum((c_s - c_t) ** 2, axis=-1) + 1e-12))
+            loss = loss + distill.w_center * kd_center
+            aux["kd_center"] = kd_center
         if distill.w_gt:
             out = compute_all_losses(
                 op_s, el_s, batch["target"], batch["pupil_center"],
@@ -387,15 +408,57 @@ def pseudo_label_real_samples(teacher, teacher_vars, eyes_u8,
 
 
 def distill_gate(fidelity: dict, max_miou_drop: float = 0.02,
-                 min_agreement: float = 0.90) -> bool:
+                 min_agreement: float = 0.90,
+                 max_center_excess_px: float = 2.0,
+                 max_real_center_p50_px: float = 8.0,
+                 criteria_out: Optional[dict] = None) -> bool:
     """Acceptance gate for a distilled serving student.
 
-    The student may serve only if (a) its GT mIoU is within
-    ``max_miou_drop`` of the teacher's on the held-out split and (b) it
-    reproduces at least ``min_agreement`` of the teacher's segmentation.
+    The student may serve only if
+      (a) its GT mIoU is within ``max_miou_drop`` of the teacher's on the
+          held-out split,
+      (b) it reproduces at least ``min_agreement`` of the teacher's
+          segmentation, AND
+      (c) its CENTER output holds up: the held-out seg-derived pupil-center
+          error is at most ``max_center_excess_px`` pixels above the
+          teacher's, and (when a real-clip pass ran) the per-eye median
+          pupil-center delta vs the teacher on real frames is at most
+          ``max_real_center_p50_px`` pixels (~2.5% of the 320-px serving
+          width).
+
+    The center criteria exist because mIoU alone is blind to the output
+    that matters for an eye tracker: the reference reports pupil/iris
+    center distance as a first-class metric (test.py:235-238,
+    utils.py:152-162) and weights it in its early-stop composite
+    (train.py:454-455). Round-3 gates without them accepted students at
+    2.6x the teacher's center error (VERDICT r3 #2). Center criteria are
+    applied when their metrics are present and finite; pass
+    ``criteria_out`` (a dict) to receive the per-criterion verdicts and
+    bounds for persisting next to the artifact.
     """
-    return (fidelity["miou_drop"] <= max_miou_drop
-            and fidelity["agreement_miou"] >= min_agreement)
+    import math
+
+    checks = {
+        "miou_drop_ok": fidelity["miou_drop"] <= max_miou_drop,
+        "agreement_ok": fidelity["agreement_miou"] >= min_agreement,
+    }
+    s = fidelity.get("student_pup_c_seg")
+    t = fidelity.get("teacher_pup_c_seg")
+    if (s is not None and t is not None
+            and math.isfinite(s) and math.isfinite(t)):
+        checks["center_val_ok"] = s <= t + max_center_excess_px
+    p50 = fidelity.get("real_pup_c_delta_p50")
+    if p50 is not None and math.isfinite(p50):
+        checks["center_real_p50_ok"] = p50 <= max_real_center_p50_px
+    if criteria_out is not None:
+        criteria_out.update(checks)
+        criteria_out["bounds"] = {
+            "max_miou_drop": max_miou_drop,
+            "min_agreement": min_agreement,
+            "max_center_excess_px": max_center_excess_px,
+            "max_real_center_p50_px": max_real_center_p50_px,
+        }
+    return all(bool(v) for v in checks.values())
 
 
 @dataclass

@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Re-apply the current fidelity gate to every committed distill artifact.
+
+The round-3 gate bounded mIoU drop + agreement only and accepted students
+at 2.6x the teacher's pupil-center error — the tracker's primary output
+(reference test.py:235-238; VERDICT r3 #2). This script re-evaluates each
+``artifacts/*/gate.json`` against the CURRENT :func:`distill_gate`
+criteria (including the center-error bounds) using the metrics already
+recorded on disk — no model re-evaluation is needed because every gate
+run persisted its val + real-clip center metrics.
+
+For rungs whose gate.json predates the real-clip pass, the whole-clip
+out-of-sample ``real_protocol.json`` (vs_teacher.pup_c_delta_p50) stands
+in for the 64-frame gate metric; the source is recorded in the criteria
+block so the evidence chain stays explicit.
+
+The previous verdict is preserved as ``accepted_miou_only`` — demotions
+are honest, not rewrites of history.
+
+Usage: python scripts/regate_artifacts.py [--artifacts artifacts]
+"""
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from eghmd_tpu.training.distill import distill_gate
+
+
+def regate_record(rec: dict, real_protocol: dict | None,
+                  max_miou_drop=0.02, min_agreement=0.90,
+                  max_center_excess_px=2.0, max_real_center_p50_px=8.0):
+    """Apply the current gate to one on-disk gate record (mutates rec)."""
+    fid = dict(rec)
+    source = "gate_real_pass_64f"
+    if fid.get("real_pup_c_delta_p50") is None and real_protocol:
+        vt = real_protocol.get("vs_teacher") or {}
+        if vt.get("pup_c_delta_p50") is not None:
+            fid["real_pup_c_delta_p50"] = vt["pup_c_delta_p50"]
+            source = "real_protocol_whole_clip"
+    criteria = {}
+    accepted = distill_gate(
+        fid, max_miou_drop, min_agreement,
+        max_center_excess_px, max_real_center_p50_px,
+        criteria_out=criteria)
+    if "center_real_p50_ok" in criteria:
+        criteria["real_p50_source"] = source
+        criteria["real_p50_value"] = fid["real_pup_c_delta_p50"]
+    if "accepted_miou_only" not in rec:
+        rec["accepted_miou_only"] = bool(rec.get("accepted"))
+    rec["criteria"] = criteria
+    rec["accepted"] = bool(accepted)
+    return rec
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--artifacts", type=str, default="artifacts")
+    p.add_argument("--max_miou_drop", type=float, default=0.02)
+    p.add_argument("--min_agreement", type=float, default=0.90)
+    p.add_argument("--max_center_excess", type=float, default=2.0)
+    p.add_argument("--max_real_center_p50", type=float, default=8.0)
+    args = p.parse_args(argv)
+
+    results = {}
+    for gate_path in sorted(glob.glob(
+            os.path.join(args.artifacts, "*", "gate.json"))):
+        with open(gate_path) as f:
+            rec = json.load(f)
+        if "miou_drop" not in rec:  # not a distill gate (e.g. bdcn's F1 gate)
+            continue
+        rp_path = os.path.join(os.path.dirname(gate_path),
+                               "real_protocol.json")
+        real_protocol = None
+        if os.path.isfile(rp_path):
+            with open(rp_path) as f:
+                real_protocol = json.load(f)
+        before = bool(rec.get("accepted"))
+        rec = regate_record(rec, real_protocol, args.max_miou_drop,
+                            args.min_agreement, args.max_center_excess,
+                            args.max_real_center_p50)
+        with open(gate_path, "w") as f:
+            json.dump(rec, f, indent=1)
+        name = os.path.basename(os.path.dirname(gate_path))
+        results[name] = {"accepted": rec["accepted"], "was": before,
+                         **{k: v for k, v in rec["criteria"].items()
+                            if k != "bounds"}}
+        verdict = ("PASS" if rec["accepted"]
+                   else "DEMOTED" if before else "fail (unchanged)")
+        print(f"{name:24s} {verdict:18s} "
+              f"val_c {rec.get('student_pup_c_seg')} "
+              f"(teacher {rec.get('teacher_pup_c_seg')}) "
+              f"real_p50 {rec['criteria'].get('real_p50_value', 'n/a')}",
+              file=sys.stderr)
+    print(json.dumps({"regate": results}))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,35 @@ def test_gate_logic():
     assert not distill_gate({"miou_drop": 0.01, "agreement_miou": 0.5})
 
 
+def test_gate_center_criteria():
+    """VERDICT r3 #2: the gate must bound the CENTER output, not just mIoU —
+    round-3 gates accepted students at 2.6x the teacher's center error."""
+    base = {"miou_drop": 0.01, "agreement_miou": 0.95,
+            "student_pup_c_seg": 4.0, "teacher_pup_c_seg": 3.0}
+    assert distill_gate(base)  # within teacher + 2 px
+    bad_val = dict(base, student_pup_c_seg=5.5)
+    assert not distill_gate(bad_val)
+    assert distill_gate(bad_val, max_center_excess_px=3.0)  # bound is a knob
+
+    # the real-clip median criterion applies only when its metric exists
+    real_ok = dict(base, real_pup_c_delta_p50=6.0)
+    real_bad = dict(base, real_pup_c_delta_p50=9.5)
+    assert distill_gate(real_ok)
+    assert not distill_gate(real_bad)
+
+    # NaN / missing center metrics skip the criterion (tiny smoke runs can
+    # have no valid center annotations) rather than crash or auto-fail
+    assert distill_gate(dict(base, student_pup_c_seg=float("nan")))
+
+    # criteria_out records per-criterion verdicts + bounds for gate.json
+    crit = {}
+    assert not distill_gate(dict(base, real_pup_c_delta_p50=9.5),
+                            criteria_out=crit)
+    assert crit["miou_drop_ok"] and crit["center_val_ok"]
+    assert not crit["center_real_p50_ok"]
+    assert crit["bounds"]["max_real_center_p50_px"] == 8.0
+
+
 @pytest.fixture(scope="module")
 def distill_setup():
     """Tiny teacher (baseline chz=8) + tiny student (input_concat chz=8)."""
@@ -77,6 +106,30 @@ class TestDistillStep:
         np.testing.assert_array_equal(
             np.asarray(jax.tree.leaves(trainer.teacher_vars["params"])[0]),
             t_leaf0)
+
+    def test_center_kd_term(self, distill_setup):
+        """w_center adds a differentiable soft-argmax center-matching term
+        (VERDICT r3 #2's retraining lever) that trains without breaking the
+        step; its aux metric must appear and shrink."""
+        import optax
+
+        from eghmd_tpu.training.distill import (DistillConfig,
+                                                make_distill_step)
+
+        trainer, pipe = distill_setup
+        batch = next(iter(pipe))
+        state = trainer.init_state(batch)
+        tx = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
+        step = make_distill_step(
+            trainer.student, trainer.teacher, tx,
+            DistillConfig(w_gt=0.0, w_center=20.0), donate=False)
+        state = state._replace(opt_state=tx.init(state.params))
+        cvals = []
+        for _ in range(6):
+            state, metrics = step(state, trainer.teacher_vars, batch, 0.5)
+            cvals.append(float(metrics["kd_center"]))
+        assert np.all(np.isfinite(cvals))
+        assert cvals[-1] < cvals[0], cvals
 
     def test_fidelity_and_gate(self, distill_setup):
         trainer, pipe = distill_setup
