@@ -274,6 +274,35 @@ def _export_bn(params, stats, out, fpath, tname):
     out[tname + ".num_batches_tracked"] = np.asarray(0, np.int64)
 
 
+def bdcn_flax_to_torch(variables):
+    """BDCN variables -> a reference-layout state_dict ({name: np.ndarray})
+    loadable by the reference ``bdcn_new.BDCN`` with ``strict=False``. The
+    exact inverse of :func:`bdcn_torch_to_flax`; the fixed bilinear
+    ``upsample_*`` deconvs are analytic constants on both sides (the torch
+    model re-creates them in ``_initialize_weights``, bdcn_new.py:193-201)
+    and are not exported."""
+    params = variables["params"]
+    out: Dict[str, np.ndarray] = {}
+    for name in [
+        "conv1_1", "conv1_2", "conv2_1", "conv2_2", "conv3_1", "conv3_2",
+        "conv3_3", "conv4_1", "conv4_2", "conv4_3", "conv5_1", "conv5_2",
+        "conv5_3",
+    ]:
+        _export_conv(params, out, ("features", name), f"features.{name}")
+    stage_blocks = {1: 2, 2: 2, 3: 3, 4: 3, 5: 3}
+    for s, nb in stage_blocks.items():
+        for j in range(1, nb + 1):
+            for cname in ("conv", "conv1", "conv2", "conv3"):
+                _export_conv(params, out, (f"msblock{s}_{j}", cname),
+                             f"msblock{s}_{j}.{cname}")
+            _export_conv(params, out, (f"conv{s}_{j}_down",),
+                         f"conv{s}_{j}_down")
+        _export_conv(params, out, (f"score_dsn{s}",), f"score_dsn{s}")
+        _export_conv(params, out, (f"score_dsn{s}_1",), f"score_dsn{s}_1")
+    _export_conv(params, out, ("fuse",), "fuse")
+    return out
+
+
 def esfnet_flax_to_torch(variables, setting):
     """ESFNet variables -> a reference-layout state_dict ({name: np.ndarray})
     loadable by the reference DenseNet2D (wrap values in torch tensors). The

@@ -83,4 +83,14 @@ def import_reference(module_name):
         sys.path.insert(0, REFERENCE_ROOT)
     import importlib
 
-    return importlib.import_module(module_name)
+    # reference test.py bumps RLIMIT_NOFILE to 20480 at import
+    # (test.py:27-28); this sandbox's hard limit is lower — no-op
+    # setrlimit for the duration of the import (evaluate.py imports test)
+    import resource
+
+    orig_setrlimit = resource.setrlimit
+    resource.setrlimit = lambda *a, **k: None
+    try:
+        return importlib.import_module(module_name)
+    finally:
+        resource.setrlimit = orig_setrlimit
