@@ -88,6 +88,36 @@ def main() -> None:
     # boundary rather than each process training on its local shard alone
     print(f"MPOK process={process_id} loss={loss:.6f}", flush=True)
 
+    # --- sharded SERVING step across the same cluster (VERDICT r3 #8):
+    # the serving path is the product; mirror what dryrun_multichip
+    # validates single-process. Frames batch-sharded over 'data' (each
+    # process feeding only ITS slice), weights replicated, one jitted
+    # dual-eye step; the cross-process checksum is a GLOBAL reduction over
+    # the sharded outputs, so XLA must move eye predictions over the
+    # process boundary for both workers to read the same value.
+    from eghmd_tpu.inference.serving import build_serving_step
+    from eghmd_tpu.parallel import replicated_sharding
+
+    step, s_vars, bdcn_vars = build_serving_step(
+        dtype=jnp.float32, eye_size=(176, 192), frame_size=(176, 384))
+    s_vars = jax.device_put(s_vars, replicated_sharding(mesh))
+    bdcn_vars = jax.device_put(bdcn_vars, replicated_sharding(mesh))
+    frames_global = np.random.RandomState(0).rand(
+        n_global, 176, 384).astype(np.float32)
+    frames = jax.make_array_from_process_local_data(
+        sharding, frames_global[start:start + size], frames_global.shape)
+
+    def serve_and_sum(s_vars, bdcn_vars, frames):
+        seg, iris_px, pupil_px = step(s_vars, bdcn_vars, frames)
+        return (jnp.sum(pupil_px[:, :2]) + jnp.sum(iris_px[:, :2]),
+                jnp.sum(seg.astype(jnp.int32)))
+
+    csum, segsum = jax.jit(serve_and_sum)(s_vars, bdcn_vars, frames)
+    csum, segsum = float(csum), int(segsum)
+    assert np.isfinite(csum), csum
+    print(f"MPSERVE process={process_id} checksum={csum:.6f} "
+          f"segsum={segsum}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -55,6 +55,18 @@ def test_two_process_dp_train_step():
     # identical replicated loss on both hosts == the all-reduce crossed DCN
     assert losses[0] == losses[1], losses
 
+    # cross-process SERVING step (VERDICT r3 #8): the global checksum over
+    # the batch-sharded dual-eye outputs must agree bitwise on both hosts —
+    # each process fed only its local frame slice, so agreement proves the
+    # serving outputs crossed the process boundary
+    serves = []
+    for out in outs:
+        m = re.search(r"MPSERVE process=\d checksum=(-?[0-9.]+) "
+                      r"segsum=(\d+)", out)
+        assert m, f"no MPSERVE line:\n{out[-3000:]}"
+        serves.append((float(m.group(1)), int(m.group(2))))
+    assert serves[0] == serves[1], serves
+
 
 def test_explicit_coordinator_failure_raises():
     """An explicit multi-process request that cannot initialize must raise,
