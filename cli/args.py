@@ -64,6 +64,11 @@ def parse_args(argv=None, train=True):
     p.add_argument("--seg_downscale", type=int, default=1,
                    help="fast-seg serving mode: decode the seg map at 1/N "
                         "resolution (checkpoint-compatible)")
+    p.add_argument("--seed", type=int, default=0,
+                   help="experiment seed: model init + epoch-shuffle order "
+                        "(data distribution stays fixed, so multi-seed runs "
+                        "are PAIRED on identical samples — the edge-ablation "
+                        "protocol, scripts/edge_ablation_seeds.sh)")
     p.add_argument("--mesh", type=int, default=0,
                    help="data-parallel mesh size; 0 -> all devices")
     p.add_argument("--remat", type=int, default=0,
@@ -123,6 +128,7 @@ def experiment_from_args(args):
         weights_init=getattr(args, "weights_init", "flax"),
         remat=bool(getattr(args, "remat", 0)),
         mesh_shape=(args.mesh,) if args.mesh else None,
+        seed=getattr(args, "seed", 0),
     )
 
 

@@ -50,7 +50,8 @@ def main(argv=None):
 
     sharding = batch_sharding(trainer.mesh)
     train_pipe = DataPipeline(train_ds, cfg.batchsize, sharding=sharding,
-                              shuffle=True, num_workers=cfg.workers)
+                              shuffle=True, seed=cfg.seed,
+                              num_workers=cfg.workers)
     valid_pipe = DataPipeline(valid_ds, cfg.batchsize, sharding=sharding,
                               shuffle=False, num_workers=cfg.workers)
     # cross-dataset test split, evaluated whenever the stop metric improves
