@@ -52,6 +52,13 @@ def parse_args(argv=None):
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--out", type=str, default="",
                    help="default: <ckpt dir>/real_protocol.json")
+    p.add_argument("--refine_ab", type=int, default=0,
+                   help="also run the refinement on/off A/B at this "
+                        "artifact (VERDICT r3 #5): student iris/pupil "
+                        "ellipses raw vs 40-sweep-refined, scored against "
+                        "the teacher's seg mask (raster IoU) and refined "
+                        "ellipse (rotated-bbox IoU); adds a refine_ab "
+                        "block with a keep/drop verdict")
     return p.parse_args(argv)
 
 
@@ -214,6 +221,35 @@ def main(argv=None):
         "eval_eyes": int(agree.shape[0]),
         "vs_teacher": _dist_block(agree, delta),
     }
+    if args.refine_ab:
+        from eghmd_tpu.training.distill import real_frame_refine_ab
+
+        ab = real_frame_refine_ab(model_a, vars_a, teacher, teacher_vars,
+                                  frames, edge_fn_s=edge_a,
+                                  edge_fn_t=edge_full,
+                                  edge_thres=edge_thres, batch=args.batch,
+                                  eye_size=(h, w))
+        block = {}
+        for name in ("iris", "pupil"):
+            for metric in ("segiou", "bbiou"):
+                raw = ab[f"{name}_{metric}_raw"]
+                ref = ab[f"{name}_{metric}_ref"]
+                d = ref - raw
+                block[f"{name}_{metric}"] = {
+                    "raw_mean": round(float(np.nanmean(raw)), 4),
+                    "ref_mean": round(float(np.nanmean(ref)), 4),
+                    "delta_mean": round(float(np.nanmean(d)), 4),
+                    "delta_p10": round(float(np.nanpercentile(d, 10)), 4),
+                    "delta_p50": round(float(np.nanpercentile(d, 50)), 4),
+                    "delta_p90": round(float(np.nanpercentile(d, 90)), 4),
+                    "frac_improved": round(float(np.mean(d > 0)), 4),
+                }
+        # keep refinement iff it moves the PUPIL ellipse toward the
+        # teacher's boundary on average (the tracker's primary output);
+        # centers are untouched either way
+        block["recommendation"] = (
+            "keep" if block["pupil_segiou"]["delta_mean"] > 0 else "drop")
+        record["refine_ab"] = block
     if model_b is not None:
         b_ds = args_b.get("edge_downscale", 1)
         edge_b = edge_at(b_ds)

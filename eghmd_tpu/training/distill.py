@@ -290,6 +290,95 @@ def real_frame_eye_scores(model_a, vars_a, model_b, vars_b, frames,
     return np.concatenate(agrees), np.concatenate(deltas)
 
 
+def real_frame_refine_ab(model_s, vars_s, teacher, vars_t, frames,
+                         edge_fn_s=None, edge_fn_t=None, edge_thres=False,
+                         batch: int = 16, eye_size=(240, 320),
+                         num_sweeps: int = 40):
+    """Refinement on/off A/B at a serving artifact on REAL frames
+    (VERDICT r3 #5).
+
+    The reference refines EVERY served frame (evaluate.py:148-151,
+    utils.py:450-486); whether that actually improves the ellipses at OUR
+    trained operating points was unmeasured. With no GT on real frames, the
+    quality proxy is the TEACHER: for each eye this scores the student's
+    iris/pupil ellipses — raw (seg-derived center + regressed axes) vs
+    refined (``ops.refine_ellipse_batch``, the reference's 40-sweep budget)
+    — against (a) the teacher's argmax seg mask (raster IoU: does the
+    refined ellipse trace the better model's boundary?) and (b) the
+    teacher's own REFINED ellipse (rotated-bbox IoU, reference
+    calc_box_iou.py:13-54). Centers are untouched by refinement on both
+    sides (utils.py:455-456), so deltas isolate the (a, b, theta) search.
+
+    Returns a dict of per-eye numpy arrays:
+    ``{iris,pupil}_{segiou,bbiou}_{raw,ref}`` each ``[M]``.
+    """
+    from ..geometry.ellipse import transform_ellipse, unnorm_mat
+    from ..inference.preprocess import preprocess_frames, split_dual_eye
+    from ..losses import el_pred_from_seg_centers
+    from ..metrics.raster import ellipse_bbox_iou, ellipse_mask_iou
+    from ..ops import refine_ellipse_batch, seg_centers
+
+    h, w = eye_size
+    same_edge = edge_fn_t is None
+    hu = unnorm_mat(h, w, jnp, dtype=jnp.float32)
+
+    def ellipses_px(op, el_out):
+        el = el_pred_from_seg_centers(seg_centers(op), el_out)
+        iris = transform_ellipse(el[:, :5].astype(jnp.float32), hu, jnp)
+        pupil = transform_ellipse(el[:, 5:].astype(jnp.float32), hu, jnp)
+        seg = jnp.argmax(op, axis=-1)
+        masks = jnp.concatenate([(seg == 1), (seg == 2)]).astype(jnp.float32)
+        els = jnp.concatenate([iris, pupil], axis=0)
+        ref = refine_ellipse_batch(masks, els, num_sweeps)
+        b = seg.shape[0]
+        return seg, (iris, pupil), (ref[:b], ref[b:])
+
+    @jax.jit
+    def ab_step(vars_s, vars_t, raw):
+        if raw.shape[2] >= 2 * w:
+            left, right = split_dual_eye(raw)
+            eyes = jnp.concatenate([left, right], axis=0)
+        else:
+            eyes = raw
+        img, _ = preprocess_frames(eyes, eye_size)
+        e_s = (jnp.zeros_like(img) if edge_fn_s is None else edge_fn_s(img))
+        e_s = _apply_edge_threshold(e_s, edge_thres)
+        e_t = (e_s if same_edge
+               else _apply_edge_threshold(edge_fn_t(img), edge_thres))
+        op_s, el_s, _ = model_s.apply(vars_s, img, e_s, train=False)
+        op_t, el_t, _ = teacher.apply(vars_t, img, e_t, train=False)
+        _, s_raw, s_ref = ellipses_px(op_s, el_s)
+        seg_t, _, t_ref = ellipses_px(op_t, el_t)
+        out = {}
+        for cls, name in ((1, "iris"), (2, "pupil")):
+            tmask = (seg_t == cls).astype(jnp.float32)
+            i = cls - 1
+            out[f"{name}_segiou_raw"] = ellipse_mask_iou(
+                tmask, s_raw[i], normalized=False)
+            out[f"{name}_segiou_ref"] = ellipse_mask_iou(
+                tmask, s_ref[i], normalized=False)
+            out[f"{name}_bbiou_raw"] = ellipse_bbox_iou(
+                s_raw[i], t_ref[i], shape=eye_size)
+            out[f"{name}_bbiou_ref"] = ellipse_bbox_iou(
+                s_ref[i], t_ref[i], shape=eye_size)
+        return out
+
+    per = 2 if frames.shape[2] >= 2 * w else 1
+    acc: dict = {}
+    for i in range(0, frames.shape[0], batch):
+        chunk = frames[i: i + batch]
+        f = chunk.shape[0]
+        if f < batch:  # keep one compiled shape
+            pad = np.repeat(chunk[-1:], batch - f, axis=0)
+            chunk = np.concatenate([chunk, pad], axis=0)
+        res = ab_step(vars_s, vars_t, jnp.asarray(chunk, jnp.float32))
+        for k, v in res.items():
+            v = np.asarray(v)
+            for e in range(per):
+                acc.setdefault(k, []).append(v[e * batch: e * batch + f])
+    return {k: np.concatenate(v) for k, v in acc.items()}
+
+
 def real_frame_agreement(student, teacher, state, teacher_vars,
                          video_path: str, edge_fn=None, edge_thres=False,
                          n_frames: int = 64, batch: int = 16,

@@ -197,6 +197,31 @@ def test_real_frame_agreement_mechanics(distill_setup, tmp_path):
                                 eye_size=SIZE) is None
 
 
+def test_real_frame_refine_ab_mechanics(distill_setup):
+    """The refinement on/off A/B (VERDICT r3 #5) must return per-eye
+    iris/pupil raster-IoU and bbox-IoU arrays for raw and refined student
+    ellipses, all finite in [0, 1]."""
+    from eghmd_tpu.training.distill import real_frame_refine_ab
+
+    trainer, pipe = distill_setup
+    batch = next(iter(pipe))
+    state = trainer.init_state(batch)
+
+    rng = np.random.RandomState(3)
+    frames = rng.randint(0, 255, (5, SIZE[0], SIZE[1]), np.uint8)
+    out = real_frame_refine_ab(
+        trainer.student, {"params": state.params,
+                          "batch_stats": state.batch_stats},
+        trainer.teacher, trainer.teacher_vars, frames,
+        batch=4, eye_size=SIZE, num_sweeps=3)
+    keys = {f"{n}_{m}_{v}" for n in ("iris", "pupil")
+            for m in ("segiou", "bbiou") for v in ("raw", "ref")}
+    assert set(out) == keys
+    for k, v in out.items():
+        assert v.shape == (5,), (k, v.shape)
+        assert np.all(np.isfinite(v)) and np.all((v >= 0) & (v <= 1)), k
+
+
 def test_real_mix_pseudo_labels(distill_setup):
     """Teacher pseudo-labeling turns raw eye crops into fully-annotated
     Samples (all-valid cond, teacher argmax as label, boundary weights /
