@@ -657,7 +657,17 @@ class DistillTrainer:
             state, train_sum = self.run_epoch(state, train_pipe, epoch)
             fid = evaluate_fidelity(self.fidelity_step, state,
                                     self.teacher_vars, valid_pipe)
+            # gate-aligned best-epoch selection: the fidelity gate bounds
+            # BOTH seg fidelity and the pupil-center error (the tracker's
+            # primary output), so pure-agreement selection can promote an
+            # epoch the gate then rejects. Penalize center error at the
+            # reference's own composite weight (2.5e-3 per px,
+            # train.py:454-455); NaN centers (tiny smoke runs) fall back
+            # to agreement alone.
             metric = fid["agreement_miou"]
+            c = fid.get("student_pup_c_seg")
+            if c is not None and np.isfinite(c):
+                metric -= 2.5e-3 * c
             new_lr = self.plateau.step(metric)
             state = self.set_lr(state, new_lr)
             improved = self.early.step(metric)
