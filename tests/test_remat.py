@@ -7,6 +7,8 @@ decoder-concat activations dominate stored-backward memory).
 """
 
 import numpy as np
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -16,6 +18,9 @@ from eghmd_tpu.models import ESFNet, build_model
 SIZE = (176, 192)
 
 
+@pytest.mark.slow  # ~100 s: compiles fwd+bwd twice (plain + remat) on the
+# 1-core box; a pure consistency check with low churn — run per round in
+# the slow suite (VERDICT r3 #9: keep the fast set under 15 min)
 def test_remat_outputs_and_grads_match():
     variant = scaled_variant(VARIANT_PRESETS["baseline_edge"], 8)
     plain = build_model("ritnet_v2", variant, chz=8)
