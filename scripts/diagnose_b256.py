@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Diagnose the b256 serving-throughput cliff (VERDICT r3 #6).
+
+Round-3 sweep: 2043 fps at b64 -> 111.7 fps at b256 (20x collapse). The
+hypothesis is HBM oversubscription: at batch 256 the dual-eye step holds
+512 eye rows, whose full-resolution early-stage activations alone are
+512 x 240 x 320 x chz x 4B ~ 5 GB per tensor — XLA then either
+serializes convolutions into bandwidth-wasting slices or pushes peak
+bytes against the 16 GB chip.
+
+This runs the flagship serving step at a ladder of batches, recording
+fenced fps AND the device allocator's peak/live bytes per compiled
+program (jax.Device.memory_stats), printing one JSON line for
+BASELINE.md. Usage: python scripts/diagnose_b256.py [--batches 64,192,256]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batches", type=str, default="64,256")
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--edge_downscale", type=int, default=4)
+    p.add_argument("--seg_downscale", type=int, default=4)
+    p.add_argument("--input_downscale", type=int, default=1)
+    args = p.parse_args(argv)
+
+    from eghmd_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import _fence, build_pipeline
+
+    dev = jax.devices()[0]
+
+    def stats():
+        s = dev.memory_stats() or {}
+        return {k: s.get(k) for k in
+                ("bytes_in_use", "peak_bytes_in_use", "largest_alloc_size",
+                 "bytes_limit") if s.get(k) is not None}
+
+    out = {"device": str(dev), "rows": []}
+    for bs in [int(b) for b in args.batches.split(",")]:
+        row = {"batch_frames": bs}
+        try:
+            jitted, variables, bdcn_vars, frames = build_pipeline(
+                dtype=jnp.bfloat16, batch_frames=bs,
+                edge_downscale=args.edge_downscale,
+                seg_downscale=args.seg_downscale,
+                input_downscale=args.input_downscale)
+            _fence(jitted(variables, bdcn_vars, frames))  # compile + warm
+            row["after_warm"] = stats()
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                r = jitted(variables, bdcn_vars, frames)
+            _fence(r)
+            dt = time.perf_counter() - t0
+            row["fps"] = round(bs * args.iters / dt, 1)
+            row["stats"] = stats()
+            lim = row["stats"].get("bytes_limit")
+            peak = row["stats"].get("peak_bytes_in_use")
+            if lim and peak:
+                row["peak_frac_of_limit"] = round(peak / lim, 3)
+        except Exception as e:
+            row["error"] = f"{type(e).__name__}: {str(e).splitlines()[0][:300]}"
+        out["rows"].append(row)
+        print(f"b{bs}: {row.get('fps', 'ERR')} fps, peak "
+              f"{row.get('stats', {}).get('peak_bytes_in_use', '?')}",
+              file=sys.stderr)
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()
