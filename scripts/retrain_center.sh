@@ -128,15 +128,29 @@ run "$LOG/distill/b4_in2_bootc/checkpoints/best" \
 finish b4_in2_boot "$LOG/distill/b4_in2_bootc"
 
 # re-score the whole demo clip out-of-sample for every rung whose weights
-# changed (export_art removed the stale real_protocol.json)
+# changed (export_art removed the stale real_protocol.json); --refine_ab
+# also records the on-device refinement accuracy A/B (VERDICT r3 #5)
 for rung in calib_e4s4_rm2 calib_e4s4_in2_boot b4_rm2 ns_chz6_in2_boot \
             b4_in2_boot; do
     if [ -d "$ART/$rung/checkpoints/best" ] \
             && [ ! -f "$ART/$rung/real_protocol.json" ]; then
-        python cli/real_protocol.py --ckpt "$ART/$rung" 2>&1 \
+        python cli/real_protocol.py --ckpt "$ART/$rung" --refine_ab 1 2>&1 \
             | tee -a "$LOG/retrain_center.log" \
             | grep -E '^\{' >> "$GATES" || true
     fi
 done
+
+# the north-star rung's weights are unchanged but VERDICT r3 #5 wants the
+# refine A/B there too; re-score only if its protocol lacks the block
+if ! python - <<'EOF'
+import json
+rec = json.load(open("artifacts/ns_chz6_rm2/real_protocol.json"))
+raise SystemExit(0 if "refine_ab" in rec else 1)
+EOF
+then
+    python cli/real_protocol.py --ckpt "$ART/ns_chz6_rm2" --refine_ab 1 2>&1 \
+        | tee -a "$LOG/retrain_center.log" \
+        | grep -E '^\{' >> "$GATES" || true
+fi
 
 echo "== retrain_center complete; gate lines in $GATES"
