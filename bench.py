@@ -106,15 +106,27 @@ def cost_analysis(jitted, variables, bdcn_vars, frames):
 
 def run_one(dtype, batch_frames, refine, edge_downscale, seg_downscale,
             iters, analyze=False, setting="baseline_edge", chz=32,
-            growth=1.2, ckpt="", bdcn_ckpt="", input_downscale=1):
+            growth=1.2, ckpt="", bdcn_ckpt="", input_downscale=1,
+            repeats=1):
+    """One serving-shape measurement. ``repeats`` > 1 re-times the SAME
+    compiled program that many times and reports the MEDIAN as fps plus
+    the per-run list/spread in extras — headline claims must carry
+    measured run-to-run variance on this tunnel, not the best observed
+    session (VERDICT r3 weak #2: README said 2,228 while the driver run
+    measured 2,043.6 at the same shape)."""
     jitted, variables, bdcn_vars, frames = build_pipeline(
         dtype=dtype, batch_frames=batch_frames, refine=refine,
         edge_downscale=edge_downscale, seg_downscale=seg_downscale,
         setting=setting, chz=chz, growth=growth, ckpt=ckpt,
         bdcn_ckpt=bdcn_ckpt, input_downscale=input_downscale,
     )
-    fps = measure(jitted, variables, bdcn_vars, frames, iters=iters)
+    runs = [measure(jitted, variables, bdcn_vars, frames, iters=iters)
+            for _ in range(max(1, repeats))]
+    fps = float(np.median(runs))
     extras = cost_analysis(jitted, variables, bdcn_vars, frames) if analyze else {}
+    if len(runs) > 1:
+        extras["fps_runs"] = [round(f, 1) for f in runs]
+        extras["fps_spread"] = [round(min(runs), 1), round(max(runs), 1)]
     return fps, extras
 
 
@@ -469,6 +481,10 @@ def main():
     p.add_argument("--no-train-cost", action="store_true",
                    help="skip the train-step XLA cost analysis (model "
                         "FLOPs/bytes per step at 240x320 b16 bf16 remat)")
+    p.add_argument("--spread", type=int, default=3,
+                   help="re-time the final measurement this many times; the "
+                        "headline is the MEDIAN and the JSON carries the "
+                        "per-run list + min/max spread")
     p.add_argument("--latency-iters", type=int, default=40,
                    help="small-batch step-latency measurement window for "
                         "the HMD real-time budget (batch 1 and 8 at the "
@@ -544,7 +560,8 @@ def main():
                           setting=args.setting, chz=args.chz,
                           growth=args.growth, ckpt=args.ckpt,
                           bdcn_ckpt=args.bdcn_ckpt,
-                          input_downscale=args.input_downscale)
+                          input_downscale=args.input_downscale,
+                          repeats=args.spread)
 
     if args.profile_dir:
         # first-class device tracing (SURVEY §5): a short traced window of
@@ -562,7 +579,10 @@ def main():
         _fence(out)
         jax.profiler.stop_trace()
         print(f"profiler trace written to {args.profile_dir}", file=sys.stderr)
-    fps = max(fps, best_fps)
+    # the headline is the final run's MEDIAN (full iters, checkpoint
+    # weights, spread-measured) — never the sweep's quick probe, which is
+    # noisier and weightless; the probe's peak is recorded for reference
+    extras["sweep_best_fps"] = round(best_fps, 1)
 
     if extras.get("gflops_per_frame"):
         tflops = fps * extras["gflops_per_frame"] / 1e3
