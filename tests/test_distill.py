@@ -92,7 +92,9 @@ def test_paired_miou_drop_ci():
     assert crit["miou_drop_ci95"] == [0.045, 0.055]
     assert crit["miou_drop_ci_within_bar"] is True
     crit = {}
-    assert distill_gate(fid, max_miou_drop=0.056, criteria_out=crit)
+    # point estimate exactly at the bar still passes, but the CI's upper
+    # bound exceeds it -> the record flags the pass as near-bar
+    assert distill_gate(fid, max_miou_drop=0.05, criteria_out=crit)
     assert crit["miou_drop_ci_within_bar"] is False
 
 
