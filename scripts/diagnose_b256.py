@@ -81,5 +81,85 @@ def main(argv=None):
     return out
 
 
+def mem_analysis(argv=None):
+    """Compile-time peak-memory ladder (no execution, no allocator).
+
+    The first diagnostic run showed the axon runtime exposes NO
+    ``Device.memory_stats`` and that the b256 program dies in the
+    server-side compile helper before any measurement exists. XLA's
+    ``compiled.memory_analysis()`` sidesteps both: it reports the
+    compiler's own scheduled peak (temp + arguments + output) for batches
+    that DO compile, and a linear batch extrapolation bounds the b256
+    peak against the 16 GB chip. Usage:
+    ``python scripts/diagnose_b256.py --mem 64,128``.
+    """
+    p = argparse.ArgumentParser()
+    p.add_argument("--mem", type=str, default="64,128")
+    p.add_argument("--extrapolate", type=int, default=256)
+    p.add_argument("--edge_downscale", type=int, default=4)
+    p.add_argument("--seg_downscale", type=int, default=4)
+    p.add_argument("--input_downscale", type=int, default=1)
+    args = p.parse_args(argv)
+
+    from eghmd_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    import jax.numpy as jnp
+
+    from bench import build_pipeline
+
+    out = {"rows": [], "hbm_limit_gb": 16.0}
+    rows = []
+    for bs in [int(b) for b in args.mem.split(",")]:
+        row = {"batch_frames": bs}
+        try:
+            jitted, variables, bdcn_vars, frames = build_pipeline(
+                dtype=jnp.bfloat16, batch_frames=bs,
+                edge_downscale=args.edge_downscale,
+                seg_downscale=args.seg_downscale,
+                input_downscale=args.input_downscale)
+            compiled = jitted.lower(variables, bdcn_vars, frames).compile()
+            ma = compiled.memory_analysis()
+            for k in ("temp_size_in_bytes", "argument_size_in_bytes",
+                      "output_size_in_bytes", "alias_size_in_bytes",
+                      "generated_code_size_in_bytes"):
+                v = getattr(ma, k, None)
+                if v is not None:
+                    row[k] = int(v)
+            temp = row.get("temp_size_in_bytes", 0)
+            arg = row.get("argument_size_in_bytes", 0)
+            outb = row.get("output_size_in_bytes", 0)
+            row["peak_gb"] = round((temp + arg + outb) / 2**30, 3)
+            rows.append((bs, temp))
+        except Exception as e:
+            row["error"] = (f"{type(e).__name__}: "
+                            f"{str(e).splitlines()[0][:300]}")
+        out["rows"].append(row)
+        print(f"b{bs}: peak {row.get('peak_gb', '?')} GB "
+              f"(temp {row.get('temp_size_in_bytes', '?')})",
+              file=sys.stderr)
+    if len(rows) >= 2:
+        # temp bytes are activation-dominated -> linear in batch; solve the
+        # affine fit from the two largest compiled batches
+        (b1, t1), (b2, t2) = rows[-2], rows[-1]
+        slope = (t2 - t1) / max(b2 - b1, 1)
+        t256 = t2 + slope * (args.extrapolate - b2)
+        arg_b = out["rows"][-1].get("argument_size_in_bytes", 0)
+        out["extrapolated"] = {
+            "batch_frames": args.extrapolate,
+            "temp_gb": round(t256 / 2**30, 2),
+            "peak_gb": round((t256 + arg_b) / 2**30, 2),
+            "exceeds_hbm": bool((t256 + arg_b) / 2**30 > 16.0),
+        }
+        print(f"extrapolated b{args.extrapolate}: "
+              f"{out['extrapolated']['peak_gb']} GB peak", file=sys.stderr)
+    print(json.dumps(out))
+    return out
+
+
 if __name__ == "__main__":
-    main()
+    if "--mem" in sys.argv:
+        mem_analysis()
+    else:
+        main()
