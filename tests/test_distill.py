@@ -98,6 +98,47 @@ def test_paired_miou_drop_ci():
     assert crit["miou_drop_ci_within_bar"] is False
 
 
+def test_regate_artifacts(tmp_path):
+    """scripts/regate_artifacts.py re-applies the CURRENT gate to on-disk
+    gate.json records (VERDICT r3 #2): center criteria demote a previously
+    accepted rung, the old verdict is preserved as accepted_miou_only, and
+    a missing 64-frame real metric falls back to real_protocol.json with
+    the source recorded."""
+    import json
+
+    from scripts.regate_artifacts import main as regate_main
+
+    art = tmp_path / "artifacts"
+    ok = {"miou_drop": 0.005, "agreement_miou": 0.97,
+          "student_pup_c_seg": 4.0, "teacher_pup_c_seg": 3.14,
+          "real_pup_c_delta_p50": 4.5, "accepted": True}
+    bad_center = dict(ok, student_pup_c_seg=8.0)
+    no_real = {k: v for k, v in ok.items()
+               if k != "real_pup_c_delta_p50"}
+    for name, rec in (("good", ok), ("bad", bad_center), ("noreal", no_real)):
+        d = art / name
+        d.mkdir(parents=True)
+        (d / "gate.json").write_text(json.dumps(rec))
+    (art / "noreal" / "real_protocol.json").write_text(json.dumps(
+        {"vs_teacher": {"pup_c_delta_p50": 9.5}}))
+    # a non-distill gate (e.g. the BDCN F1 gate) must be left alone
+    (art / "bdcn").mkdir()
+    (art / "bdcn" / "gate.json").write_text(json.dumps({"f1": 0.4}))
+
+    res = regate_main(["--artifacts", str(art)])
+    assert res["good"]["accepted"] and res["good"]["was"]
+    assert not res["bad"]["accepted"] and res["bad"]["was"]
+    assert "bdcn" not in res
+
+    bad = json.loads((art / "bad" / "gate.json").read_text())
+    assert bad["accepted_miou_only"] is True and bad["accepted"] is False
+    assert bad["criteria"]["center_val_ok"] is False
+    nr = json.loads((art / "noreal" / "gate.json").read_text())
+    assert nr["criteria"]["real_p50_source"] == "real_protocol_whole_clip"
+    assert nr["criteria"]["center_real_p50_ok"] is False  # 9.5 > 8.0
+    assert nr["accepted"] is False
+
+
 @pytest.fixture(scope="module")
 def distill_setup():
     """Tiny teacher (baseline chz=8) + tiny student (input_concat chz=8)."""
