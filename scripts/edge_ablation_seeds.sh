@@ -25,6 +25,33 @@ EPOCHS=${EPOCHS:-48}
 SEEDS=${SEEDS:-"0 1 2"}
 mkdir -p "$LOG"
 
+# logs/ does not survive between build rounds but artifacts/ does: restore
+# any committed work-in-progress (finished stages incl. the converged hard
+# BDCN) so a continuing round never retrains a completed arm. Save back
+# with: bash scripts/edge_ablation_seeds.sh --save-wip
+WIP=artifacts/edge_ablation_seeds_wip
+if [ "${1:-}" = "--save-wip" ]; then
+    mkdir -p "$WIP"
+    for d in "$LOG/bdcn/hard" "$LOG"/ritnet_v2/*hard*_s*; do
+        [ -d "$d" ] || continue
+        rel=${d#"$LOG"/}
+        mkdir -p "$WIP/$(dirname "$rel")"
+        rm -rf "$WIP/$rel"
+        cp -r "$d" "$WIP/$rel"
+        echo "== saved $d -> $WIP/$rel"
+    done
+    exit 0
+fi
+if [ -d "$WIP" ]; then
+    (cd "$WIP" && find . -type d) | while read -r d; do
+        mkdir -p "$LOG/$d"
+    done
+    (cd "$WIP" && find . -type f) | while read -r f; do
+        [ -f "$LOG/$f" ] || cp "$WIP/$f" "$LOG/$f"
+    done
+    echo "== restored WIP stages from $WIP"
+fi
+
 run() { # run <done-marker-dir> <cmd...>
     local marker=$1; shift
     local attempt
