@@ -34,6 +34,30 @@ if [ "${1:-}" = "--save-wip" ]; then
     mkdir -p "$WIP"
     for d in "$LOG/bdcn/hard" "$LOG"/ritnet_v2/*hard*_s*; do
         [ -d "$d" ] || continue
+        # only COMPLETE stages may be saved: a restored partial arm would
+        # be skipped by the done-marker as if finished. An arm is complete
+        # iff early stopping fired (schedule.json early_stop) or it ran
+        # its whole epoch budget; the bdcn stage iff its marker exists.
+        if ! python - "$d" <<'EOF'
+import json, os, sys
+d = sys.argv[1]
+if os.path.basename(os.path.dirname(d)) == "bdcn":
+    sys.exit(0 if os.path.isdir(os.path.join(d, "checkpoints", "bdcn"))
+             else 1)
+try:
+    sched = json.load(open(os.path.join(d, "checkpoints", "schedule.json")))
+    if sched.get("early", {}).get("early_stop"):
+        sys.exit(0)
+    hist = json.load(open(os.path.join(d, "history.json")))
+    budget = json.load(open(os.path.join(d, "args.json")))["args"]["epochs"]
+    sys.exit(0 if hist[-1]["epoch"] + 1 >= budget else 1)
+except Exception:
+    sys.exit(1)
+EOF
+        then
+            echo "== skip (incomplete): $d"
+            continue
+        fi
         rel=${d#"$LOG"/}
         mkdir -p "$WIP/$(dirname "$rel")"
         rm -rf "$WIP/$rel"
