@@ -20,6 +20,7 @@
 set -u
 cd "$(dirname "$0")/.."
 LOG=${1:-logs}
+[ "$LOG" = "--save-wip" ] && LOG=${2:-logs}
 DEG=${DEG:-1.0}
 EPOCHS=${EPOCHS:-48}
 SEEDS=${SEEDS:-"0 1 2"}
