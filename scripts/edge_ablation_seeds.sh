@@ -63,6 +63,10 @@ EOF
         mkdir -p "$WIP/$(dirname "$rel")"
         rm -rf "$WIP/$rel"
         cp -r "$d" "$WIP/$rel"
+        # per-epoch checkpoints are dead weight for resume (the done-marker
+        # is `best`/`bdcn`; the summarizer reads history+args+schedule)
+        rm -rf "$WIP/$rel"/checkpoints/epoch_* "$WIP/$rel"/checkpoints/init \
+            "$WIP/$rel"/TB* 2>/dev/null
         echo "== saved $d -> $WIP/$rel"
     done
     exit 0
