@@ -725,6 +725,40 @@ def main():
         except Exception as e:  # pragma: no cover - auxiliary measurement
             print(f"student measurement failed: {e}", file=sys.stderr)
 
+    # Refinement-ON serving point (VERDICT r4 #2): the committed refine A/B
+    # says "keep" refinement at every scored rung (it improves all four
+    # ellipse metrics on real frames — real_protocol.json refine_ab), and
+    # the reference refines EVERY served frame (evaluate.py:148-151), so the
+    # recommended serving path is refine-ON. Measure it at the exact
+    # flagship shape/weights so the headline JSON carries BOTH numbers and
+    # README can cite the recommended path's fps from the same artifact.
+    if not args.refine and _stage_fits("refine", 200.0):
+        try:
+            r_fps, _ = run_one(
+                dtype, best_bs, True, args.edge_downscale,
+                args.seg_downscale, iters=args.iters, setting=args.setting,
+                chz=args.chz, growth=args.growth, ckpt=args.ckpt,
+                bdcn_ckpt=args.bdcn_ckpt,
+                input_downscale=args.input_downscale)
+            record["fps_refine"] = round(r_fps, 1)
+            record["refine_overhead_pct"] = round(100.0 * (fps / r_fps - 1.0), 1)
+            if args.latency_iters > 0 and _stage_fits("refine-b1", 120.0):
+                rb1_fps, _ = run_one(
+                    dtype, 1, True, args.edge_downscale, args.seg_downscale,
+                    iters=args.latency_iters, setting=args.setting,
+                    chz=args.chz, growth=args.growth, ckpt=args.ckpt,
+                    bdcn_ckpt=args.bdcn_ckpt,
+                    input_downscale=args.input_downscale)
+                record["latency_ms_b1_refine"] = round(1000.0 / rb1_fps, 3)
+            print(f"refine-ON (recommended serving path): {r_fps:.1f} fps "
+                  f"({record['refine_overhead_pct']}% over refine-off"
+                  + (f", b1 {record.get('latency_ms_b1_refine')} ms"
+                     if "latency_ms_b1_refine" in record else "") + ")",
+                  file=sys.stderr)
+            emit()
+        except Exception as e:  # pragma: no cover - auxiliary measurement
+            print(f"refine measurement failed: {e}", file=sys.stderr)
+
     latency = {}
     if args.latency_iters > 0 and _stage_fits("latency"):
         # HMD serving is LATENCY-critical, not just throughput-critical:
@@ -752,6 +786,55 @@ def main():
             emit()
         except Exception as e:  # pragma: no cover - auxiliary measurement
             print(f"latency measurement failed: {e}", file=sys.stderr)
+
+    # Per-rung small-batch latency (VERDICT r4 #5/#6): HMD serving is a b1
+    # workload (reference evaluate.py:235-289 scores frame-by-frame), and
+    # the rungs an integrator would actually deploy are the gated fast
+    # students — the flagship-only b1/b8 table left them unquantified.
+    # Each rung serves its own gated checkpoint; emitted incrementally so a
+    # timeout keeps the rungs already measured.
+    if (not args.refine and args.latency_iters > 0 and args.chz == 32
+            and args.setting == "baseline_edge"):
+        here = os.path.dirname(os.path.abspath(__file__))
+        rungs = [
+            ("b4_rm2", dict(setting="baseline", chz=4, growth=1.0,
+                            seg_downscale=4, input_downscale=1)),
+            ("ns_chz6_rm2", dict(setting="baseline", chz=6, growth=1.0,
+                                 seg_downscale=4, input_downscale=1)),
+            ("ic8_rm2", dict(setting="baseline_input_concat", chz=8,
+                             growth=1.2, seg_downscale=4,
+                             input_downscale=1)),
+        ]
+        by_rung = {}
+        for name, cfg in rungs:
+            if not _stage_fits(f"latency_by_rung:{name}", 150.0):
+                break
+            ckpt, _rel = _first_gated(
+                (f"artifacts/{name}/checkpoints",
+                 f"logs/distill/{name}/checkpoints"), here)
+            if not ckpt:
+                print(f"latency_by_rung: no gated ckpt for {name}; skipped",
+                      file=sys.stderr)
+                continue
+            try:
+                row = {}
+                for b in (1, 8):
+                    rb_fps, _ = run_one(
+                        dtype, b, False, 4, cfg["seg_downscale"],
+                        iters=args.latency_iters, setting=cfg["setting"],
+                        chz=cfg["chz"], growth=cfg["growth"],
+                        ckpt=ckpt, bdcn_ckpt=args.bdcn_ckpt,
+                        input_downscale=cfg["input_downscale"])
+                    row[f"latency_ms_b{b}"] = round(1000.0 * b / rb_fps, 3)
+                    row[f"fps_b{b}"] = round(rb_fps, 1)
+                by_rung[name] = row
+                print(f"latency_by_rung {name}: b1 {row['latency_ms_b1']} "
+                      f"ms/frame, b8 {row['latency_ms_b8']} ms "
+                      f"({row['fps_b8']} fps)", file=sys.stderr)
+                record["latency_by_rung"] = by_rung
+                emit()
+            except Exception as e:  # pragma: no cover - auxiliary
+                print(f"latency_by_rung {name} failed: {e}", file=sys.stderr)
 
     train_cost = {}
     if (not args.no_train_cost and not args.refine
