@@ -129,6 +129,14 @@ def parse_args(argv=None):
                         "dual-eye frames (the reference's shipped demo clip "
                         "by default; '' disables)")
     p.add_argument("--real_frames", type=int, default=64)
+    p.add_argument("--gate_eval_n", type=int, default=256,
+                   help="minimum held-out sample count for the FIDELITY "
+                        "gate evaluation (synthetic data only): the val "
+                        "split is extended to this many samples — same "
+                        "seed/distribution, a superset disjoint from "
+                        "training — so gate verdicts and their bootstrap "
+                        "CIs rest on >= 256 samples instead of the val "
+                        "split's 32 (VERDICT r4 #4); 0 keeps the val split")
     p.add_argument("--real_mix", type=int, default=0,
                    help="mix N teacher-pseudo-labeled real eye crops from "
                         "--real_video into the student's TRAINING set (KD "
@@ -356,8 +364,22 @@ def main(argv=None):
         state = jax.device_put(state, replicated_sharding(trainer.mesh))
         gated_tag = "best"
 
+    gate_pipe = valid_pipe
+    if ((args.synthetic or args.curObj == "synthetic")
+            and args.gate_eval_n > len(valid_ds)):
+        # widen the gate's evidence base (host-side cost only): samples are
+        # a deterministic function of (seed, idx), so seed=2 with more
+        # samples is a SUPERSET of the val split — still disjoint from the
+        # training set (seed=1) and test set (seed=3)
+        from eghmd_tpu.data import SyntheticEyeDataset
+
+        gate_ds = SyntheticEyeDataset(
+            args.gate_eval_n, cfg.image_size, aug=False, seed=2,
+            degrade=getattr(args, "synthetic_degrade", 0.0))
+        gate_pipe = DataPipeline(gate_ds, cfg.batchsize, sharding=sharding,
+                                 shuffle=False, num_workers=cfg.workers)
     fid = evaluate_fidelity(trainer.fidelity_step, state, trainer.teacher_vars,
-                            valid_pipe)
+                            gate_pipe)
     if args.real_video and (args.image_height, args.image_width) == (240, 320):
         # the serving-shaped students only: real frames are preprocessed to
         # the 240x320 serving geometry (reference evaluate.py:247)

@@ -91,11 +91,23 @@ def _resolve_bdcn(recorded, override):
     return fallback if os.path.isdir(fallback) else recorded
 
 
-def _dist_block(agree, delta):
+def _dist_block(sc):
+    """Distribution block from a real_frame_eye_scores dict: agreement +
+    pupil AND iris center deltas (reference test.py:235-238 reports both),
+    plus a visibility-split tail account (VERDICT r4 missing #4): eyes
+    where the truth side's argmax has < REAL_VISIBILITY_MIN_PUPIL_PX pupil
+    pixels (blink/occlusion — the center is ill-defined) are counted and
+    the center stats are re-reported over visible eyes only, the
+    reference's cond-mask discipline (CurriculumLib.py:189-193) applied to
+    serving."""
     import numpy as np
 
+    from eghmd_tpu.training.distill import REAL_VISIBILITY_MIN_PUPIL_PX
+
+    agree, delta, iris = sc["agree"], sc["pup_delta"], sc["iris_delta"]
     q = lambda v, p: round(float(np.nanpercentile(v, p)), 4)
-    return {
+    visible = np.asarray(sc["pup_px_b"]) >= REAL_VISIBILITY_MIN_PUPIL_PX
+    out = {
         "agreement_miou": round(float(np.nanmean(agree)), 4),
         "agreement_p10": q(agree, 10),
         "agreement_p50": q(agree, 50),
@@ -103,7 +115,33 @@ def _dist_block(agree, delta):
         "pup_c_delta_px": round(float(np.nanmean(delta)), 4),
         "pup_c_delta_p50": q(delta, 50),
         "pup_c_delta_p90": q(delta, 90),
+        "iris_c_delta_px": round(float(np.nanmean(iris)), 4),
+        "iris_c_delta_p50": q(iris, 50),
+        "iris_c_delta_p90": q(iris, 90),
+        "visible_frac": round(float(np.mean(visible)), 4),
     }
+    if visible.any() and not visible.all():
+        dv, iv = delta[visible], iris[visible]
+        out["visible_only"] = {
+            "pup_c_delta_px": round(float(np.nanmean(dv)), 4),
+            "pup_c_delta_p50": q(dv, 50),
+            "pup_c_delta_p90": q(dv, 90),
+            "iris_c_delta_p50": q(iv, 50),
+            "iris_c_delta_p90": q(iv, 90),
+        }
+        # classify the worst-decile pupil-delta eyes: how much of the tail
+        # is blink/occlusion (not-visible) vs genuine failure on a visible
+        # pupil?
+        thr = np.nanpercentile(delta, 90)
+        tail = delta >= thr
+        out["tail_p90"] = {
+            "threshold_px": round(float(thr), 2),
+            "n_tail_eyes": int(np.sum(tail)),
+            "n_tail_not_visible": int(np.sum(tail & ~visible)),
+            "frac_tail_blink_or_occlusion": round(
+                float(np.sum(tail & ~visible) / max(1, np.sum(tail))), 4),
+        }
+    return out
 
 
 def main(argv=None):
@@ -210,16 +248,15 @@ def main(argv=None):
         m_x, v_x, m_y, v_y, frames, edge_fn_a=e_x, edge_fn_b=e_y,
         edge_thres=edge_thres, batch=args.batch, eye_size=(h, w))
 
-    agree, delta = score(model_a, vars_a, teacher, teacher_vars,
-                         edge_a, edge_full)
+    sc_a = score(model_a, vars_a, teacher, teacher_vars, edge_a, edge_full)
     record = {
         "artifact": args.ckpt.rstrip("/"),
         "video": args.video,
         "clip_frames": clip_frames,
         "excluded_train_frames": list(excluded) if excluded else None,
         "eval_frames": int(frames.shape[0]),
-        "eval_eyes": int(agree.shape[0]),
-        "vs_teacher": _dist_block(agree, delta),
+        "eval_eyes": int(sc_a["agree"].shape[0]),
+        "vs_teacher": _dist_block(sc_a),
     }
     if args.refine_ab:
         from eghmd_tpu.training.distill import real_frame_refine_ab
@@ -254,12 +291,12 @@ def main(argv=None):
         b_ds = args_b.get("edge_downscale", 1)
         edge_b = edge_at(b_ds)
         b_full = edge_at(1) if b_ds > 1 else None
-        ab, db = score(model_b, vars_b, teacher, teacher_vars, edge_b, b_full)
-        axb, dxb = score(model_a, vars_a, model_b, vars_b, edge_a,
-                         edge_b if b_ds != a_ds else None)
+        sc_b = score(model_b, vars_b, teacher, teacher_vars, edge_b, b_full)
+        sc_ab = score(model_a, vars_a, model_b, vars_b, edge_a,
+                      edge_b if b_ds != a_ds else None)
         record["artifact_b"] = args.ckpt_b.rstrip("/")
-        record["b_vs_teacher"] = _dist_block(ab, db)
-        record["a_vs_b"] = _dist_block(axb, dxb)
+        record["b_vs_teacher"] = _dist_block(sc_b)
+        record["a_vs_b"] = _dist_block(sc_ab)
 
     out = args.out or os.path.join(
         args.ckpt if os.path.isdir(os.path.join(args.ckpt, "checkpoints"))

