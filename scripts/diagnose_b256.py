@@ -131,7 +131,7 @@ def mem_analysis(argv=None):
             arg = row.get("argument_size_in_bytes", 0)
             outb = row.get("output_size_in_bytes", 0)
             row["peak_gb"] = round((temp + arg + outb) / 2**30, 3)
-            rows.append((bs, temp))
+            rows.append((bs, temp, arg, outb))
         except Exception as e:
             row["error"] = (f"{type(e).__name__}: "
                             f"{str(e).splitlines()[0][:300]}")
@@ -141,16 +141,27 @@ def mem_analysis(argv=None):
               file=sys.stderr)
     if len(rows) >= 2:
         # temp bytes are activation-dominated -> linear in batch; solve the
-        # affine fit from the two largest compiled batches
-        (b1, t1), (b2, t2) = rows[-2], rows[-1]
+        # affine fit from the two largest COMPILED batches. Argument and
+        # output bytes are taken from the last successful row (not
+        # out["rows"][-1], which can be an error row with arg=0 when the
+        # largest batch fails to compile) and scaled linearly in batch, and
+        # output bytes are included so the extrapolated peak is consistent
+        # with the per-row peak_gb (ADVICE r4 #1).
+        (b1, t1, _, _), (b2, t2, arg2, out2) = rows[-2], rows[-1]
         slope = (t2 - t1) / max(b2 - b1, 1)
         t256 = t2 + slope * (args.extrapolate - b2)
-        arg_b = out["rows"][-1].get("argument_size_in_bytes", 0)
+        # arguments = batch-independent weights + the batch-linear frames
+        # input (f32 [bs, 400, 640]); outputs are per-frame, fully linear
+        frame_bytes = 400 * 640 * 4
+        weights = max(arg2 - b2 * frame_bytes, 0)
+        arg_x = weights + args.extrapolate * frame_bytes
+        out_x = out2 * args.extrapolate / max(b2, 1)
+        peak = t256 + arg_x + out_x
         out["extrapolated"] = {
             "batch_frames": args.extrapolate,
             "temp_gb": round(t256 / 2**30, 2),
-            "peak_gb": round((t256 + arg_b) / 2**30, 2),
-            "exceeds_hbm": bool((t256 + arg_b) / 2**30 > 16.0),
+            "peak_gb": round(peak / 2**30, 2),
+            "exceeds_hbm": bool(peak / 2**30 > 16.0),
         }
         print(f"extrapolated b{args.extrapolate}: "
               f"{out['extrapolated']['peak_gb']} GB peak", file=sys.stderr)

@@ -44,9 +44,12 @@ stage() { # stage <name> <timeout_s> <cmd...>
 
 if [ ! -s "$LOG/b256_diag.json" ]; then
     stage b256 2400 python scripts/diagnose_b256.py
-    # diagnose prints its JSON line last; pull it out of the queue log
+    # diagnose prints its JSON line last; pull it out of the queue log and
+    # reject a timeout-truncated line (ADVICE r4 #5: a mid-print kill can
+    # leave partial JSON that passes the -s check)
     grep -E '^\{"device"' "$LOG/queue.log" | tail -1 > "$LOG/b256_diag.json"
-    [ -s "$LOG/b256_diag.json" ] || rm -f "$LOG/b256_diag.json"
+    python -c "import json,sys; json.load(open('$LOG/b256_diag.json'))" \
+        2>/dev/null || rm -f "$LOG/b256_diag.json"
 fi
 
 stage retrain_center 16200 bash scripts/retrain_center.sh

@@ -65,6 +65,56 @@ def test_gate_center_criteria():
     assert crit["bounds"]["max_real_center_p50_px"] == 8.0
 
 
+def test_gate_iris_criteria():
+    """VERDICT r4 #3: the iris center — half of the reference's primary
+    center metric (test.py:235-238) — is gated on the same footing as the
+    pupil: val excess vs the teacher and real-clip median delta."""
+    base = {"miou_drop": 0.01, "agreement_miou": 0.95,
+            "student_pup_c_seg": 4.0, "teacher_pup_c_seg": 3.0,
+            "student_iri_c_seg": 4.0, "teacher_iri_c_seg": 3.5}
+    assert distill_gate(base)
+    assert not distill_gate(dict(base, student_iri_c_seg=6.0))
+    assert not distill_gate(dict(base, real_iris_c_delta_p50=9.5))
+    assert distill_gate(dict(base, real_iris_c_delta_p50=6.0))
+    # records land per-structure
+    crit = {}
+    distill_gate(dict(base, real_iris_c_delta_p50=9.5,
+                      real_pup_c_delta_p50=3.0), criteria_out=crit)
+    assert crit["center_real_p50_ok"] and not crit["iris_real_p50_ok"]
+    assert crit["iris_val_ok"]
+    # missing iris metrics (pre-r5 records) skip the criterion
+    assert distill_gate({"miou_drop": 0.01, "agreement_miou": 0.95})
+
+
+def test_paired_center_excess_ci():
+    """VERDICT r4 weak #1: the center criteria adjudicated near-misses on
+    32-sample point estimates — the excess now carries a paired bootstrap
+    CI that the gate records next to the verdict."""
+    from eghmd_tpu.training.distill import paired_center_excess_ci
+
+    rng = np.random.default_rng(5)
+    t = rng.uniform(2.0, 6.0, size=128)
+    lo, hi = paired_center_excess_ci(t, t + 1.5)
+    assert lo == pytest.approx(1.5) and hi == pytest.approx(1.5)
+    # NaN (missing annotation) tolerated; empty -> NaN interval
+    t2 = t.copy()
+    t2[::3] = np.nan
+    lo2, hi2 = paired_center_excess_ci(t2, t2 + 1.5)
+    assert np.isfinite(lo2) and np.isfinite(hi2)
+    lo3, hi3 = paired_center_excess_ci(np.array([]), np.array([]))
+    assert np.isnan(lo3) and np.isnan(hi3)
+
+    fid = {"miou_drop": 0.01, "agreement_miou": 0.95,
+           "student_pup_c_seg": 4.5, "teacher_pup_c_seg": 3.0,
+           "center_excess_ci95": [1.1, 2.4],
+           "iris_center_excess_ci95": [0.2, 0.9]}
+    crit = {}
+    assert distill_gate(fid, criteria_out=crit)  # point estimate passes
+    assert crit["center_excess_ci95"] == [1.1, 2.4]
+    assert crit["center_excess_ci95_within_bar"] is False  # 2.4 > 2.0
+    assert crit["iris_center_excess_ci95_within_bar"] is True
+
+
 def test_paired_miou_drop_ci():
     """VERDICT r3 weak #3: near-bar gate verdicts need a confidence
     treatment — the CI is paired per-sample so a constant offset yields a
