@@ -35,6 +35,12 @@ def parse_args(argv=None):
     p.add_argument("--dilate", type=int, default=1,
                    help="boundary-band half-width in px for the supervision "
                         "maps")
+    p.add_argument("--lr_decay", type=str, default="none",
+                   choices=("none", "cosine"),
+                   help="cosine: decay the LR to lr*0.01 over the run "
+                        "(restarts on --resume); the fixed-LR recipe "
+                        "plateaus near val F1 0.47 on the degraded "
+                        "distribution (VERDICT r4 #5)")
     p.add_argument("--resume", type=int, default=0,
                    help="continue from this expname's checkpoint for "
                         "--epochs MORE epochs (fresh optimizer)")
@@ -70,7 +76,11 @@ def main(argv=None):
     valid_pipe = DataPipeline(valid_ds, args.batchsize, shuffle=False,
                               num_workers=args.workers)
 
-    trainer = BDCNTrainer(lr=args.lr, dilate=args.dilate, dtype=dtype)
+    steps_per_epoch = -(-len(train_ds) // args.batchsize)
+    total = (args.epochs * steps_per_epoch if args.lr_decay == "cosine"
+             else 0)
+    trainer = BDCNTrainer(lr=args.lr, dilate=args.dilate, dtype=dtype,
+                          total_steps=total)
     ckpt_dir = os.path.join(args.log_dir, "bdcn", args.expname, "checkpoints")
     from eghmd_tpu.utils.logging import dump_run_args
 

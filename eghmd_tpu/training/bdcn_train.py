@@ -173,11 +173,20 @@ def make_bdcn_eval_step(model: BDCN, dilate: int = 1):
 
 @dataclass
 class BDCNTrainer:
-    """Minimal experiment driver for the edge stage."""
+    """Minimal experiment driver for the edge stage.
+
+    ``total_steps`` > 0 enables a cosine decay of the learning rate to
+    ``lr * 0.01`` over that many optimizer steps — the fixed-LR recipe
+    plateaus around val F1 0.47 on the degraded distribution while the
+    edge-ablation oracle arm shows the guidance mechanism has more to buy
+    (VERDICT r4 #5); the tail of the schedule is where the thin contour
+    bands sharpen.
+    """
 
     lr: float = 1e-3
     dilate: int = 1
     dtype: Any = jnp.float32
+    total_steps: int = 0
     log_fn: Optional[Any] = print
     model: BDCN = field(init=False)
 
@@ -187,8 +196,11 @@ class BDCNTrainer:
         # diverges at every lr; reference init + clip(1.0) + adam(1e-3)
         # is the fastest stable point (loss 1.07 -> 0.60, f1 0.51 in 40
         # steps; 1e-4 and 3e-4 converge slower, 1e-3 unclipped explodes)
+        lr = (optax.cosine_decay_schedule(self.lr, self.total_steps,
+                                          alpha=0.01)
+              if self.total_steps > 0 else self.lr)
         self.tx = optax.chain(optax.clip_by_global_norm(1.0),
-                              optax.adam(self.lr))
+                              optax.adam(lr))
         self.train_step = make_bdcn_train_step(self.model, self.tx,
                                                self.dilate)
         self.eval_step = make_bdcn_eval_step(self.model, self.dilate)
@@ -204,6 +216,7 @@ class BDCNTrainer:
             params = self.init_params(next(iter(train_pipe)))
         opt_state = self.tx.init(params)
         history = []
+        best_f1, best_params = -1.0, None
         for epoch in range(epochs):
             if hasattr(train_pipe, "set_epoch"):
                 train_pipe.set_epoch(epoch)
@@ -222,12 +235,20 @@ class BDCNTrainer:
                 rec.update({f"val_{k}": float(np.mean([a[k] for a in va]))
                             for k in va[0]})
             history.append(rec)
+            if rec.get("val_f1", rec["f1"]) > best_f1:
+                # the served artifact is the BEST val-F1 state, not the
+                # final epoch's — a long cosine run must not regress the
+                # checkpoint if the tail wobbles
+                best_f1 = rec.get("val_f1", rec["f1"])
+                best_params = jax.device_get(params)
             if self.log_fn:
                 msg = (f"bdcn epoch {epoch}: loss {rec['loss']:.4f} "
                        f"f1 {rec['f1']:.4f}")
                 if "val_f1" in rec:
                     msg += f" val_f1 {rec['val_f1']:.4f}"
                 self.log_fn(msg)
+        if best_params is not None:
+            params = jax.tree.map(jnp.asarray, best_params)
         if checkpoint_dir is not None:
             save_bdcn_checkpoint(checkpoint_dir, params)
         return params, history
