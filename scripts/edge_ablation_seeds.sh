@@ -33,7 +33,7 @@ mkdir -p "$LOG"
 WIP=artifacts/edge_ablation_seeds_wip
 if [ "${1:-}" = "--save-wip" ]; then
     mkdir -p "$WIP"
-    for d in "$LOG/bdcn/hard" "$LOG"/ritnet_v2/*hard*_s*; do
+    for d in "$LOG"/bdcn/hard* "$LOG"/ritnet_v2/*hard*_s*; do
         [ -d "$d" ] || continue
         # only COMPLETE stages may be saved: a restored partial arm would
         # be skipped by the done-marker as if finished. An arm is complete
