@@ -56,7 +56,8 @@ def _fallback(path, default):
     return default if os.path.isdir(os.path.join(REPO, default)) else path
 
 
-def reeval_one(art_dir: str, keep_tmp: bool = False) -> dict | None:
+def reeval_one(art_dir: str, keep_tmp: bool = False,
+               dry_run: bool = False) -> dict | None:
     """Run the current gate evaluation on one artifact dir; return the new
     gate record (not yet merged)."""
     name = os.path.basename(art_dir.rstrip("/"))
@@ -86,6 +87,9 @@ def reeval_one(art_dir: str, keep_tmp: bool = False) -> dict | None:
                 continue
             cmd += [f"--{k}", str(v)]
         print(f"== reeval {name}", file=sys.stderr)
+        if dry_run:
+            print(" ".join(cmd))
+            return None
         proc = subprocess.run(cmd, cwd=REPO)
         if proc.returncode != 0:
             print(f"{name}: gate_only run failed rc={proc.returncode}",
@@ -113,6 +117,8 @@ def main(argv=None):
     p.add_argument("--artifacts", type=str, default="artifacts")
     p.add_argument("--only", type=str, default="",
                    help="re-evaluate just this artifact name")
+    p.add_argument("--dry_run", action="store_true",
+                   help="print each gate_only command without running it")
     args = p.parse_args(argv)
 
     results = {}
@@ -126,9 +132,10 @@ def main(argv=None):
             old = json.load(f)
         if "miou_drop" not in old:  # not a distill gate (e.g. bdcn F1)
             continue
-        new = reeval_one(art_dir)
+        new = reeval_one(art_dir, dry_run=args.dry_run)
         if new is None:
-            results[name] = {"error": "reeval failed"}
+            if not args.dry_run:
+                results[name] = {"error": "reeval failed"}
             continue
         rec = merge(old, new)
         with open(gate_path, "w") as f:
