@@ -268,7 +268,7 @@ def main(argv=None):
                                   eye_size=(h, w))
         block = {}
         for name in ("iris", "pupil"):
-            for metric in ("segiou", "bbiou"):
+            for metric in ("segiou", "bbiou", "bbiou_rawT"):
                 raw = ab[f"{name}_{metric}_raw"]
                 ref = ab[f"{name}_{metric}_ref"]
                 d = ref - raw
@@ -283,9 +283,20 @@ def main(argv=None):
                 }
         # keep refinement iff it moves the PUPIL ellipse toward the
         # teacher's boundary on average (the tracker's primary output);
-        # centers are untouched either way
+        # centers are untouched either way. The verdict carries its
+        # caveats explicitly (VERDICT r4 weak #3): bbiou vs the teacher's
+        # REFINED ellipse shares the refinement procedure on both sides
+        # (the bbiou_rawT variant removes that advantage), and the pupil
+        # bbox tail can worsen even when the mask-IoU verdict is "keep".
         block["recommendation"] = (
             "keep" if block["pupil_segiou"]["delta_mean"] > 0 else "drop")
+        block["caveats"] = {
+            "bbiou_same_procedure_bias":
+                "bbiou targets the teacher's refined ellipse; compare "
+                "bbiou_rawT (teacher raw target) for the unbiased delta",
+            "pupil_bbox_tail_frac_worsened": round(
+                1.0 - block["pupil_bbiou"]["frac_improved"], 4),
+        }
         record["refine_ab"] = block
     if model_b is not None:
         b_ds = args_b.get("edge_downscale", 1)

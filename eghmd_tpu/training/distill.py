@@ -488,7 +488,7 @@ def real_frame_refine_ab(model_s, vars_s, teacher, vars_t, frames,
         op_s, el_s, _ = model_s.apply(vars_s, img, e_s, train=False)
         op_t, el_t, _ = teacher.apply(vars_t, img, e_t, train=False)
         _, s_raw, s_ref = ellipses_px(op_s, el_s)
-        seg_t, _, t_ref = ellipses_px(op_t, el_t)
+        seg_t, t_raw, t_ref = ellipses_px(op_t, el_t)
         out = {}
         for cls, name in ((1, "iris"), (2, "pupil")):
             tmask = (seg_t == cls).astype(jnp.float32)
@@ -501,6 +501,15 @@ def real_frame_refine_ab(model_s, vars_s, teacher, vars_t, frames,
                 s_raw[i], t_ref[i], shape=eye_size)
             out[f"{name}_bbiou_ref"] = ellipse_bbox_iou(
                 s_ref[i], t_ref[i], shape=eye_size)
+            # symmetric target (VERDICT r4 weak #3): the refined-vs-refined
+            # comparison shares the refinement procedure on both sides,
+            # which inflates the refined score through same-procedure
+            # similarity; scoring both student variants against the
+            # teacher's RAW ellipse removes that shared-procedure advantage
+            out[f"{name}_bbiou_rawT_raw"] = ellipse_bbox_iou(
+                s_raw[i], t_raw[i], shape=eye_size)
+            out[f"{name}_bbiou_rawT_ref"] = ellipse_bbox_iou(
+                s_ref[i], t_raw[i], shape=eye_size)
         return out
 
     per = 2 if frames.shape[2] >= 2 * w else 1

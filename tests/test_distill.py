@@ -341,7 +341,8 @@ def test_real_frame_refine_ab_mechanics(distill_setup):
         trainer.teacher, trainer.teacher_vars, frames,
         batch=4, eye_size=SIZE, num_sweeps=3)
     keys = {f"{n}_{m}_{v}" for n in ("iris", "pupil")
-            for m in ("segiou", "bbiou") for v in ("raw", "ref")}
+            for m in ("segiou", "bbiou", "bbiou_rawT")
+            for v in ("raw", "ref")}
     assert set(out) == keys
     for k, v in out.items():
         assert v.shape == (5,), (k, v.shape)
