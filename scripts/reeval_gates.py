@@ -119,6 +119,10 @@ def main(argv=None):
                    help="re-evaluate just this artifact name")
     p.add_argument("--dry_run", action="store_true",
                    help="print each gate_only command without running it")
+    p.add_argument("--force", action="store_true",
+                   help="re-evaluate even artifacts already carrying the "
+                        "round-5 record (default: skip them, so a timeout "
+                        "mid-queue resumes where it left off)")
     args = p.parse_args(argv)
 
     results = {}
@@ -131,6 +135,13 @@ def main(argv=None):
         with open(gate_path) as f:
             old = json.load(f)
         if "miou_drop" not in old:  # not a distill gate (e.g. bdcn F1)
+            continue
+        # re-entry: merge() stamps accepted_r4, so its presence (plus the
+        # widened eval set) marks an artifact this script already rewrote
+        if (not args.force and not args.only and "accepted_r4" in old
+                and old.get("n_eval_samples", 0) >= 256):
+            print(f"{name:24s} skip (already re-evaluated)", file=sys.stderr)
+            results[name] = {"accepted": old["accepted"], "skipped": True}
             continue
         new = reeval_one(art_dir, dry_run=args.dry_run)
         if new is None:
