@@ -90,10 +90,16 @@ def reeval_one(art_dir: str, keep_tmp: bool = False,
         if dry_run:
             print(" ".join(cmd))
             return None
-        proc = subprocess.run(cmd, cwd=REPO)
+        # the axon compile helper can be OOM-SIGKILLed server-side (HTTP
+        # 500 through remote_compile) — transient, so retry before giving
+        # the artifact up for the pass
+        for attempt in range(3):
+            proc = subprocess.run(cmd, cwd=REPO)
+            if proc.returncode == 0:
+                break
+            print(f"{name}: gate_only run failed rc={proc.returncode} "
+                  f"(attempt {attempt + 1}/3)", file=sys.stderr)
         if proc.returncode != 0:
-            print(f"{name}: gate_only run failed rc={proc.returncode}",
-                  file=sys.stderr)
             return None
         with open(os.path.join(run_dir, "gate.json")) as f:
             return json.load(f)
