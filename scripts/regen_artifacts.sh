@@ -67,10 +67,15 @@ export_art() { # export_art <name> <run_dir> [weights|noweights]
 # recipe: reference init + clip(1.0) + adam(1e-3)), then RESUMED until it
 # clears the quality bar (best val_f1 >= 0.35; round-2's 10-epoch run
 # stopped at 0.297 still climbing — an unconverged edge net, VERDICT #3).
+# Round-5 recipe upgrade (BASELINE.md edge-quality chain): 4x data +
+# cosine LR decay + best-val-F1 checkpointing lifted the DEGRADED-
+# distribution BDCN from F1 0.47 to 0.765 at the same epoch budget, and
+# only at that quality does the downstream mIoU gain appear — so the
+# regen default is now the converging recipe, not the minimal one.
 # Downstream stages refuse a BDCN whose gate has not passed.
 run "$LOG/bdcn/r2/checkpoints/bdcn" \
-    python cli/train_bdcn.py --synthetic 64 --epochs "$(ep 10)" \
-    --expname r2 --log_dir "$LOG"
+    python cli/train_bdcn.py --synthetic 256 --epochs "$(ep 30)" \
+    --lr_decay cosine --expname r2 --log_dir "$LOG"
 
 BDCN_RUN="$LOG/bdcn/r2"
 BDCN="$BDCN_RUN/checkpoints"
@@ -93,8 +98,8 @@ if ! bdcn_ok; then
             bdcn_ok && break
         fi
         echo "== bdcn below quality bar; resuming +$(ep 10) epochs (attempt $attempt)"
-        python cli/train_bdcn.py --synthetic 64 --epochs "$(ep 10)" --resume 1 \
-            --expname r2 --log_dir "$LOG" 2>&1 \
+        python cli/train_bdcn.py --synthetic 256 --epochs "$(ep 10)" --resume 1 \
+            --lr_decay cosine --expname r2 --log_dir "$LOG" 2>&1 \
             | tee -a "$LOG/regen.log" | grep -E '^\{' >> "$GATES" || true
         python scripts/bdcn_gate.py --run_dir "$BDCN_RUN" 2>&1 \
             | tee -a "$LOG/regen.log" | grep -E '^\{' >> "$GATES" || true
