@@ -8,6 +8,8 @@
 #               (CI 2.43-2.84); miou_drop 0.0112 of the 0.02 budget
 #   ns_chz6_rm2 pupil excess 2.005 px vs the 2.0 bar (CI 1.63-2.41) — a
 #               0.005-px point-estimate miss; miou_drop NEGATIVE (-0.0023)
+#   ns_s8_rm2   pupil excess 2.20 px (CI 1.83-2.62); everything else
+#               passes; miou_drop 0.008 of the 0.02 budget
 # Same situation as round 4's demotions, same proven remedy
 # (scripts/finetune_center.sh): short LOW-LR center-KD fine-tunes from the
 # committed weights — small steps from a seg-good solution toward centers.
@@ -95,9 +97,18 @@ run "$LOG/distill/b4_ftc5/checkpoints/best" \
     --w_center 14 --expname b4_ftc5 --log_dir "$LOG"
 finish b4_rm2 "$LOG/distill/b4_ftc5"
 
-# whole-clip out-of-sample re-score (+ refine A/B — both are scored
+# 3. seg/8 rung: needs -0.20 px pupil with 0.012 mIoU slack
+run "$LOG/distill/ns_s8_ftc5/checkpoints/best" \
+    python cli/distill.py --teacher_ckpt "$T" --setting baseline --chz 6 \
+    --growth 1.0 --seg_downscale 8 --epochs 8 --real_mix 128 \
+    --bdcn_weights "$BDCN" --synthetic 128 \
+    --init_ckpt "$ART/ns_s8_rm2/checkpoints" --lr 1e-4 \
+    --w_center 10 --expname ns_s8_ftc5 --log_dir "$LOG"
+finish ns_s8_rm2 "$LOG/distill/ns_s8_ftc5"
+
+# whole-clip out-of-sample re-score (+ refine A/B — all are scored
 # rungs) for every rung whose weights changed
-for rung in ns_chz6_rm2 b4_rm2; do
+for rung in ns_chz6_rm2 b4_rm2 ns_s8_rm2; do
     if [ -d "$ART/$rung/checkpoints/best" ] \
             && [ ! -f "$ART/$rung/real_protocol.json" ]; then
         python cli/real_protocol.py --ckpt "$ART/$rung" --refine_ab 1 2>&1 \
