@@ -315,9 +315,19 @@ _STUDENT_RUNGS = [
           input_downscale=1),
      ("artifacts/ns_chz6_rm2/checkpoints",
       "logs/distill/ns_chz6_rm2/checkpoints")),
+    # chz8 safety rung: slower than the chz4/chz6 lines but it passed the
+    # round-5 widened gate outright — the ladder must end in a rung that
+    # serves GATED weights even when every faster rung is demoted
+    (dict(setting="baseline", chz=8, growth=1.2, seg_downscale=4,
+          input_downscale=1),
+     ("artifacts/b8_rm2/checkpoints",
+      "logs/distill/b8_rm2/checkpoints")),
 ]
 # shape measured when no gated student artifact exists on disk
-_DEFAULT_STUDENT_CFG = _STUDENT_RUNGS[-1][0]
+# shape measured when no gated student artifact exists on disk: the
+# north-star chz6 line (NOT the chz8 safety rung, which exists only so
+# the gated ladder has a passing tail)
+_DEFAULT_STUDENT_CFG = _STUDENT_RUNGS[-2][0]
 
 
 def _gate_record(ckpt_dir):
