@@ -59,6 +59,11 @@ def parse_args(argv=None):
                         "the teacher's seg mask (raster IoU) and refined "
                         "ellipse (rotated-bbox IoU); adds a refine_ab "
                         "block with a keep/drop verdict")
+    p.add_argument("--dump_scores", type=int, default=0,
+                   help="save the per-eye score arrays (agree, center "
+                        "deltas, pupil-pixel visibility signals) to "
+                        "<artifact>/real_scores.npz for offline tail "
+                        "analysis")
     return p.parse_args(argv)
 
 
@@ -249,6 +254,15 @@ def main(argv=None):
         edge_thres=edge_thres, batch=args.batch, eye_size=(h, w))
 
     sc_a = score(model_a, vars_a, teacher, teacher_vars, edge_a, edge_full)
+    if args.dump_scores:
+        # per-eye arrays beside the JSON so the tail can be analyzed
+        # offline (which eyes are the worst decile, and WHY — blink proxy,
+        # agreement, temporal clustering) without re-running the models
+        art = (args.ckpt if os.path.isdir(
+                   os.path.join(args.ckpt, "checkpoints"))
+               else os.path.dirname(args.ckpt.rstrip("/")))
+        np.savez(os.path.join(art, "real_scores.npz"),
+                 **{k: np.asarray(v) for k, v in sc_a.items()})
     record = {
         "artifact": args.ckpt.rstrip("/"),
         "video": args.video,

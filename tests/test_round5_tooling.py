@@ -79,6 +79,46 @@ class TestDistBlock:
             assert k in out
 
 
+class TestTailAnalysis:
+    def test_blink_like_tail_is_classified(self):
+        mod = _load_script("tail_analysis")
+        n = 100
+        rng = np.random.RandomState(0)
+        pup = rng.uniform(1, 4, n)
+        px = rng.uniform(900, 1100, n)
+        # eyes 40..49 (frames 20..24): an occlusion event — tiny pupil
+        # mass on the truth side, huge center deltas
+        pup[40:50] = rng.uniform(25, 40, 10)
+        px[40:50] = rng.uniform(10, 120, 10)
+        out = mod.analyze({"pup_delta": pup, "iris_delta": pup * 0.4,
+                           "agree": np.full(n, 0.9), "pup_px_b": px,
+                           "pup_px_a": px})
+        assert out["n_tail"] == 10
+        # every tail eye is relatively-small-pupil; the rest are not
+        assert out["frac_tail_small_pupil"] == 1.0
+        assert out["frac_rest_small_pupil"] == 0.0
+        # one consecutive frame cluster -> classified as an event
+        assert out["temporal"]["n_clusters"] == 1
+        assert out["temporal"]["clustered"] is True
+        assert out["teacher_pupil_px"]["tail"]["p50"] < \
+            0.25 * out["teacher_pupil_px"]["clip_median"]
+
+    def test_scattered_genuine_failures(self):
+        mod = _load_script("tail_analysis")
+        n = 200
+        rng = np.random.RandomState(1)
+        pup = rng.uniform(1, 4, n)
+        px = rng.uniform(900, 1100, n)
+        # 20 isolated eyes spread across the clip, pupil fully visible
+        idx = np.arange(0, 200, 10)
+        pup[idx] = rng.uniform(25, 40, idx.size)
+        out = mod.analyze({"pup_delta": pup, "iris_delta": pup * 0.4,
+                           "agree": np.full(n, 0.9), "pup_px_b": px,
+                           "pup_px_a": px})
+        assert out["frac_tail_small_pupil"] == 0.0
+        assert out["temporal"]["clustered"] is False
+
+
 class TestReevalReentry:
     def _fixture(self, tmp_path):
         done = tmp_path / "done_art"
