@@ -91,7 +91,7 @@ done
 stage regate 900 python scripts/regate_artifacts.py
 
 # 5. bench warm run (new refine-on + latency_by_rung stages)
-stage bench 5400 env BENCH_BUDGET_S=4200 python bench.py
+stage bench 2700 env BENCH_BUDGET_S=2100 python bench.py
 grep -h '^{"metric"' "$Q" | tail -1 > artifacts/bench_r5_verify.jsonl \
     2>/dev/null || true
 python -c "import json; json.load(open('artifacts/bench_r5_verify.jsonl'))" \
