@@ -811,6 +811,8 @@ def main():
                             seg_downscale=4, input_downscale=1)),
             ("ns_chz6_rm2", dict(setting="baseline", chz=6, growth=1.0,
                                  seg_downscale=4, input_downscale=1)),
+            ("ns_s8_rm2", dict(setting="baseline", chz=6, growth=1.0,
+                               seg_downscale=8, input_downscale=1)),
             ("ic8_rm2", dict(setting="baseline_input_concat", chz=8,
                              growth=1.2, seg_downscale=4,
                              input_downscale=1)),
